@@ -1,0 +1,110 @@
+"""LLM architecture config (Qwen2/Llama-family decoder).
+
+Replaces the reference's HF-config -> Megatron TransformerConfig builder
+(reference rlinf/config.py:1468 build_transformer_config): one dataclass feeds
+init, forward, sampler, and partition rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 896
+    intermediate_size: int = 4864
+    num_layers: int = 24
+    num_heads: int = 14
+    num_kv_heads: int = 2
+    head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
+    rope_theta: float = 1e6
+    rms_eps: float = 1e-6
+    max_seq_len: int = 4096
+    tie_word_embeddings: bool = True
+    qkv_bias: bool = True  # Qwen2 uses qkv biases
+    dtype: str = "bfloat16"  # activation/weight compute dtype
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim_
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim_
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def num_params(self) -> int:
+        """Analytic parameter count (embedding counted once if tied)."""
+        d, f, l, v = self.hidden_size, self.intermediate_size, self.num_layers, self.vocab_size
+        attn = d * self.q_dim + 2 * d * self.kv_dim + self.q_dim * d
+        if self.qkv_bias:
+            attn += self.q_dim + 2 * self.kv_dim
+        mlp = 3 * d * f
+        norms = 2 * d
+        per_layer = attn + mlp + norms
+        emb = v * d if self.tie_word_embeddings else 2 * v * d
+        return l * per_layer + emb + d
+
+    @staticmethod
+    def qwen2_0_5b() -> "LLMConfig":
+        """Qwen2.5-0.5B geometry."""
+        return LLMConfig(
+            vocab_size=151936, hidden_size=896, intermediate_size=4864,
+            num_layers=24, num_heads=14, num_kv_heads=2,
+            rope_theta=1e6, tie_word_embeddings=True,
+        )
+
+    @staticmethod
+    def qwen2_1_5b() -> "LLMConfig":
+        return LLMConfig(
+            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+            num_layers=28, num_heads=12, num_kv_heads=2,
+            rope_theta=1e6, tie_word_embeddings=True,
+        )
+
+    @staticmethod
+    def qwen2_7b() -> "LLMConfig":
+        return LLMConfig(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4,
+            rope_theta=1e6, tie_word_embeddings=False,
+        )
+
+    @staticmethod
+    def tiny(vocab_size: int = 256, max_seq_len: int = 128) -> "LLMConfig":
+        """Tiny config for unit tests / CPU meshes."""
+        return LLMConfig(
+            vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2, max_seq_len=max_seq_len,
+            rope_theta=1e4, tie_word_embeddings=True, dtype="float32",
+        )
+
+    @staticmethod
+    def from_hf_config(hf_cfg) -> "LLMConfig":
+        """Build from a transformers PretrainedConfig (Qwen2/Llama families)."""
+        return LLMConfig(
+            vocab_size=hf_cfg.vocab_size,
+            hidden_size=hf_cfg.hidden_size,
+            intermediate_size=hf_cfg.intermediate_size,
+            num_layers=hf_cfg.num_hidden_layers,
+            num_heads=hf_cfg.num_attention_heads,
+            num_kv_heads=getattr(hf_cfg, "num_key_value_heads", hf_cfg.num_attention_heads),
+            head_dim=getattr(hf_cfg, "head_dim", None),
+            rope_theta=getattr(hf_cfg, "rope_theta", 1e4),
+            rms_eps=getattr(hf_cfg, "rms_norm_eps", 1e-6),
+            max_seq_len=getattr(hf_cfg, "max_position_embeddings", 4096),
+            tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
+            qkv_bias=("qwen2" in getattr(hf_cfg, "model_type", "")),
+        )

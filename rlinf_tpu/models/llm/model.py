@@ -1,0 +1,300 @@
+"""Decoder-only transformer (Qwen2/Llama family), pure-functional JAX.
+
+One sharded model serves training, logprob recompute, and rollout decode —
+the TPU-native collapse of the reference's Megatron/FSDP-vs-SGLang/vLLM dual
+backends (SURVEY.md "What deliberately does NOT carry over").
+
+Design notes (TPU-first):
+  * Layer parameters are STACKED along a leading [L, ...] axis and the forward
+    runs ``lax.scan`` over layers: one compiled block regardless of depth,
+    fast compiles, and XLA pipelines the per-layer collectives.
+  * Partition rules follow the Megatron scheme the reference relies on
+    (column-parallel in-projections, row-parallel out-projections, vocab-
+    sharded embedding/lm_head) but are declarative — XLA SPMD inserts the
+    all-reduces (reference does this by hand in Megatron, SURVEY §2.8).
+  * All matmuls run in the config compute dtype (bf16 on TPU) with fp32
+    softmax/norm statistics; logits always fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from rlinf_tpu.ops.attention import causal_attention, decode_attention
+from rlinf_tpu.ops.norm import rms_norm
+from rlinf_tpu.ops.rope import apply_rope, rope_frequencies
+from rlinf_tpu.models.llm.config import LLMConfig
+from rlinf_tpu.parallel.mesh import AxisNames as Ax
+from rlinf_tpu.parallel.sharding import with_sharding_constraint as shard_activation
+
+Params = Dict[str, jax.Array]
+
+
+class KVCache(NamedTuple):
+    """Preallocated decode cache: k/v of [L, B, S_max, K, D]."""
+
+    k: jax.Array
+    v: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Partition rules (regex on param path -> PartitionSpec).
+# ---------------------------------------------------------------------------
+
+def partition_rules():
+    """Megatron-style TP + fsdp sharding for the stacked-layer layout."""
+    t, f = Ax.TENSOR, Ax.FSDP
+    return [
+        (r"embed", P(t, f)),                 # vocab-sharded embedding table
+        (r"blocks/wq", P(None, f, t)),       # column parallel [L, D, H*Hd]
+        (r"blocks/wk", P(None, f, t)),
+        (r"blocks/wv", P(None, f, t)),
+        (r"blocks/bq", P(None, t)),
+        (r"blocks/bk", P(None, t)),
+        (r"blocks/bv", P(None, t)),
+        (r"blocks/wo", P(None, t, f)),       # row parallel [L, H*Hd, D]
+        (r"blocks/gate", P(None, f, t)),
+        (r"blocks/up", P(None, f, t)),
+        (r"blocks/down", P(None, t, f)),
+        (r"blocks/attn_norm", P(None, None)),
+        (r"blocks/mlp_norm", P(None, None)),
+        (r"final_norm", P()),
+        (r"lm_head", P(f, t)),               # [D, V] vocab-sharded output
+    ]
+
+
+def init_params(cfg: LLMConfig, rng: jax.Array) -> Params:
+    """Random init matching HF Qwen2 scheme (normal(0.02), ones norms)."""
+    dt = cfg.compute_dtype
+    d, f, l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    qd, kvd = cfg.q_dim, cfg.kv_dim
+    keys = jax.random.split(rng, 10)
+
+    def norm_init(key, shape):
+        return jax.random.normal(key, shape, jnp.float32).astype(dt) * 0.02
+
+    params: Params = {
+        "embed": norm_init(keys[0], (cfg.vocab_size, d)),
+        "blocks": {
+            "attn_norm": jnp.ones((l, d), dt),
+            "wq": norm_init(keys[1], (l, d, qd)),
+            "wk": norm_init(keys[2], (l, d, kvd)),
+            "wv": norm_init(keys[3], (l, d, kvd)),
+            "wo": norm_init(keys[4], (l, qd, d)),
+            "mlp_norm": jnp.ones((l, d), dt),
+            "gate": norm_init(keys[5], (l, d, f)),
+            "up": norm_init(keys[6], (l, d, f)),
+            "down": norm_init(keys[7], (l, f, d)),
+        },
+        "final_norm": jnp.ones((d,), dt),
+    }
+    if cfg.qkv_bias:
+        params["blocks"]["bq"] = jnp.zeros((l, qd), dt)
+        params["blocks"]["bk"] = jnp.zeros((l, kvd), dt)
+        params["blocks"]["bv"] = jnp.zeros((l, kvd), dt)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm_init(keys[8], (d, cfg.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _block(
+    cfg: LLMConfig,
+    x: jax.Array,
+    layer: Params,
+    cos: jax.Array,
+    sin: jax.Array,
+    positions: jax.Array,
+    kv_valid_mask: Optional[jax.Array],
+    attn_impl: str,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One transformer block. Returns (x_out, (k, v)) with k/v [B,S,K,D]."""
+    B, S, D = x.shape
+    Hd = cfg.head_dim_
+
+    h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    q = h @ layer["wq"]
+    k = h @ layer["wk"]
+    v = h @ layer["wv"]
+    if cfg.qkv_bias:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    q = q.reshape(B, S, cfg.num_heads, Hd)
+    k = k.reshape(B, S, cfg.num_kv_heads, Hd)
+    v = v.reshape(B, S, cfg.num_kv_heads, Hd)
+    q, k = apply_rope(q, k, cos, sin, positions)
+
+    attn = causal_attention(
+        q, k, v,
+        positions_q=positions,
+        positions_kv=positions,
+        kv_valid_mask=kv_valid_mask,
+        impl=attn_impl,
+    )
+    x = x + attn.reshape(B, S, cfg.q_dim) @ layer["wo"]
+
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+    gated = jax.nn.silu(h @ layer["gate"]) * (h @ layer["up"])
+    x = x + gated @ layer["down"]
+    return x, (k, v)
+
+
+def forward_hidden(
+    params: Params,
+    cfg: LLMConfig,
+    input_ids: jax.Array,
+    positions: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    attn_impl: str = "xla",
+    return_kv: bool = False,
+    remat: bool = False,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Token ids -> final hidden states [B, S, D] (pre-lm_head).
+
+    attention_mask: [B, S] bool, False = padding (left or right).
+    """
+    B, S = input_ids.shape
+    if positions is None:
+        if attention_mask is not None:
+            positions = jnp.maximum(
+                jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0
+            )
+        else:
+            positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+
+    cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    x = params["embed"][input_ids].astype(cfg.compute_dtype)
+    x = shard_activation(x, P(Ax.BATCH, None, None))
+
+    block_fn = lambda x, layer: _block(
+        cfg, x, layer, cos, sin, positions, attention_mask, attn_impl
+    )
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    def scan_fn(x, layer):
+        x, kv = block_fn(x, layer)
+        return x, kv if return_kv else None
+
+    x, kvs = jax.lax.scan(scan_fn, x, params["blocks"])
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    cache = KVCache(k=kvs[0], v=kvs[1]) if return_kv else None
+    return x, cache
+
+
+def lm_head_weight(params: Params, cfg: LLMConfig) -> jax.Array:
+    if cfg.tie_word_embeddings:
+        return params["embed"].T
+    return params["lm_head"]
+
+
+def forward_logits(
+    params: Params,
+    cfg: LLMConfig,
+    input_ids: jax.Array,
+    positions: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    **kw,
+) -> jax.Array:
+    """Full-vocab fp32 logits [B, S, V]. Prefer the fused logprob ops for
+    training — this materializes the logits tensor."""
+    hidden, _ = forward_hidden(params, cfg, input_ids, positions, attention_mask, **kw)
+    return jnp.einsum(
+        "bsd,dv->bsv", hidden, lm_head_weight(params, cfg),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode path (KV cache)
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: LLMConfig, batch: int, max_len: int) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim_)
+    dt = cfg.compute_dtype
+    return KVCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt))
+
+
+def prefill(
+    params: Params,
+    cfg: LLMConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    max_cache_len: int,
+    *,
+    attn_impl: str = "xla",
+) -> Tuple[jax.Array, KVCache]:
+    """Run the prompt through the model, returning last-position hidden state
+    [B, D] and a KV cache padded to ``max_cache_len``.
+
+    Prompts are LEFT-padded so every sequence's last token sits at index S-1;
+    cache slots [0, S) are the (masked) prompt, decode appends at S.
+    """
+    B, S = input_ids.shape
+    assert max_cache_len >= S
+    hidden, kv = forward_hidden(
+        params, cfg, input_ids, attention_mask=attention_mask,
+        attn_impl=attn_impl, return_kv=True,
+    )
+    pad = max_cache_len - S
+    k = jnp.pad(kv.k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    v = jnp.pad(kv.v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
+    return hidden[:, -1, :], KVCache(k=k, v=v)
+
+
+def decode_step(
+    params: Params,
+    cfg: LLMConfig,
+    token_ids: jax.Array,      # [B] current input token
+    cache: KVCache,
+    cache_index: jax.Array,    # scalar: write slot (prompt_len + step)
+    positions: jax.Array,      # [B] rope position of this token
+    kv_valid: jax.Array,       # [B, S_max] bool, True incl. this token's slot
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step for the whole batch. Returns ([B, D] hidden, cache)."""
+    B = token_ids.shape[0]
+    Hd = cfg.head_dim_
+    cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    x = params["embed"][token_ids][:, None, :].astype(cfg.compute_dtype)  # [B,1,D]
+    pos = positions[:, None]  # [B, 1]
+
+    def scan_fn(x, inputs):
+        layer, k_cache_l, v_cache_l = inputs
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = h @ layer["wq"]
+        k = h @ layer["wk"]
+        v = h @ layer["wv"]
+        if cfg.qkv_bias:
+            q = q + layer["bq"]
+            k = k + layer["bk"]
+            v = v + layer["bv"]
+        q = q.reshape(B, 1, cfg.num_heads, Hd)
+        k = k.reshape(B, 1, cfg.num_kv_heads, Hd)
+        v = v.reshape(B, 1, cfg.num_kv_heads, Hd)
+        q, k = apply_rope(q, k, cos, sin, pos)
+
+        k_cache_l = jax.lax.dynamic_update_slice(
+            k_cache_l, k, (0, cache_index, 0, 0)
+        )
+        v_cache_l = jax.lax.dynamic_update_slice(
+            v_cache_l, v, (0, cache_index, 0, 0)
+        )
+        attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
+        x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
+        h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+        gated = jax.nn.silu(h @ layer["gate"]) * (h @ layer["up"])
+        x = x + gated @ layer["down"]
+        return x, (k_cache_l, v_cache_l)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x[:, 0, :], KVCache(k=new_k, v=new_v)

@@ -1,0 +1,161 @@
+"""Autoregressive generation: jitted prefill + lax.scan decode with KV cache.
+
+TPU-native replacement for the reference's embedded SGLang/vLLM rollout
+engines (reference rlinf/hybrid_engines/sglang/common/sgl_scheduler.py:52,
+rlinf/workers/rollout/sglang/sglang_worker.py:409). Instead of a CUDA serving
+engine in subprocesses, generation is one compiled XLA program over the mesh:
+static shapes (bucketed prompt/response lengths), done-masking for finished
+sequences, fp32 sampling logits.
+
+Rollout logprobs are computed under the temperature-scaled full softmax — the
+same distribution the inference worker recomputes (reference
+megatron_worker.py:1173 run_inference), so collocated GRPO can skip the
+recompute pass entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rlinf_tpu.models.llm import model as M
+from rlinf_tpu.models.llm.config import LLMConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = disabled
+    top_p: float = 1.0      # 1.0 = disabled
+    eos_token_id: int = -1  # -1 = never stop early
+    pad_token_id: int = 0
+    greedy: bool = False
+
+
+class GenerateOutput(NamedTuple):
+    response_ids: jax.Array       # [B, N] int32 (pad after eos)
+    response_logprobs: jax.Array  # [B, N] fp32 (0 after eos)
+    response_mask: jax.Array      # [B, N] bool, True for generated incl. eos
+    response_lengths: jax.Array   # [B] int32
+
+
+def _filter_top_k(logits: jax.Array, k: int) -> jax.Array:
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def _filter_top_p(logits: jax.Array, p: float) -> jax.Array:
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # Keep tokens until cumulative prob exceeds p (always keep the argmax).
+    cutoff_mask = cum - probs > p
+    threshold = jnp.min(
+        jnp.where(cutoff_mask, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
+def sample_from_logits(
+    rng: jax.Array,
+    logits: jax.Array,
+    sp: SamplingParams,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sample token ids and return (ids, logprob under temperature softmax).
+
+    logits: [B, V] fp32.
+    """
+    logits = logits.astype(jnp.float32)
+    if sp.greedy or sp.temperature == 0.0:
+        tok = jnp.argmax(logits, axis=-1)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        return tok.astype(jnp.int32), jnp.take_along_axis(
+            lp, tok[:, None], axis=-1
+        )[:, 0]
+
+    scaled = logits / sp.temperature
+    logprobs_full = jax.nn.log_softmax(scaled, axis=-1)
+    filtered = scaled
+    if sp.top_k > 0:
+        filtered = _filter_top_k(filtered, sp.top_k)
+    if sp.top_p < 1.0:
+        filtered = _filter_top_p(filtered, sp.top_p)
+    tok = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
+    lp = jnp.take_along_axis(logprobs_full, tok[:, None], axis=-1)[:, 0]
+    return tok, lp
+
+
+def generate(
+    params: M.Params,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    prompt_ids: jax.Array,    # [B, P] int32, LEFT-padded
+    prompt_mask: jax.Array,   # [B, P] bool
+    sp: SamplingParams,
+    *,
+    attn_impl: str = "xla",
+) -> GenerateOutput:
+    """Batched generation. Jit-safe: shapes depend only on P and
+    sp.max_new_tokens (callers bucket prompts; reference analog is SGLang's
+    continuous batching, here amortized by large static batches)."""
+    B, P = prompt_ids.shape
+    N = sp.max_new_tokens
+    S_max = P + N
+    w_lm = M.lm_head_weight(params, cfg)
+
+    prompt_lens = jnp.sum(prompt_mask.astype(jnp.int32), axis=-1)  # [B]
+    last_hidden, cache = M.prefill(
+        params, cfg, prompt_ids, prompt_mask, S_max, attn_impl=attn_impl
+    )
+    kv_valid = jnp.pad(prompt_mask, ((0, 0), (0, N)))  # [B, S_max]
+
+    logits0 = (last_hidden @ w_lm).astype(jnp.float32)
+    rng, sub = jax.random.split(rng)
+    tok0, lp0 = sample_from_logits(sub, logits0, sp)
+
+    def step_fn(carry, t):
+        rng, prev_tok, cache, kv_valid, done = carry
+        slot = P + t  # cache slot for prev_tok's kv (t starts at 0)
+        pos = prompt_lens + t  # rope position of prev_tok
+        kv_valid = jax.lax.dynamic_update_slice(
+            kv_valid, jnp.ones((B, 1), bool), (0, slot)
+        )
+        hidden, cache = M.decode_step(
+            params, cfg, prev_tok, cache, slot, pos, kv_valid
+        )
+        logits = (hidden @ w_lm).astype(jnp.float32)
+        rng, sub = jax.random.split(rng)
+        tok, lp = sample_from_logits(sub, logits, sp)
+
+        prev_done = done
+        done = done | (prev_tok == sp.eos_token_id)
+        tok = jnp.where(done, sp.pad_token_id, tok)
+        lp = jnp.where(done, 0.0, lp)
+        return (rng, tok, cache, kv_valid, done), (tok, lp, ~done)
+
+    carry = (rng, tok0, cache, kv_valid, jnp.zeros((B,), bool))
+    if N > 1:
+        carry, (toks, lps, valids) = jax.lax.scan(
+            step_fn, carry, jnp.arange(N - 1)
+        )
+        response_ids = jnp.concatenate([tok0[:, None], toks.T], axis=1)
+        response_logprobs = jnp.concatenate([lp0[:, None], lps.T], axis=1)
+        response_mask = jnp.concatenate(
+            [jnp.ones((B, 1), bool), valids.T], axis=1
+        )
+    else:
+        response_ids = tok0[:, None]
+        response_logprobs = lp0[:, None]
+        response_mask = jnp.ones((B, 1), bool)
+
+    response_lengths = jnp.sum(response_mask.astype(jnp.int32), axis=-1)
+    return GenerateOutput(
+        response_ids=response_ids.astype(jnp.int32),
+        response_logprobs=response_logprobs.astype(jnp.float32),
+        response_mask=response_mask,
+        response_lengths=response_lengths,
+    )
