@@ -1,0 +1,158 @@
+"""End-to-end RL step benchmark on the flagship LLM (single chip).
+
+Measures the two hot phases of a GRPO step (SURVEY.md §3.1 steps 3 and 6) on
+real hardware and prints ONE JSON line:
+
+  {"metric": "rl_e2e_tokens_per_s", "value": ..., "unit": "tok/s/chip",
+   "vs_baseline": ...}
+
+value        = (generated tokens + trained tokens) / (decode + train seconds)
+vs_baseline  = measured / speed-of-light for the same workload on this chip
+               (roofline: MXU-bound training + HBM-bound decode,
+               rlinf_tpu/utils/flops.py). 1.0 == hardware limit; the
+               reference's GPU stack lands well below its own roofline on
+               A100/H100, so sustained >0.4 here beats it at equal hardware.
+
+Keep this file runnable in < ~10 min including compiles.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    """Force execution + device->host sync.
+
+    On the axon-tunneled TPU backend, ``jax.block_until_ready`` returns
+    immediately (execution is deferred until a host fetch), so timing must
+    bracket an actual scalar fetch. The ~30ms tunnel round-trip is amortized
+    by iterating enough work between syncs.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaf = None
+    import jax
+
+    for l in jax.tree_util.tree_leaves(x):
+        leaf = l
+        break
+    flat = jnp.ravel(leaf)[0]
+    return float(np.asarray(flat))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rlinf_tpu.models.llm import (
+        LLMConfig,
+        SamplingParams,
+        generate,
+        init_params,
+    )
+    from rlinf_tpu.training.learner import PolicyLossConfig, make_policy_train_step
+    from rlinf_tpu.training.train_state import (
+        OptimizerConfig,
+        create_train_state,
+        make_optimizer,
+    )
+    from rlinf_tpu.utils import flops as F
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform != "cpu"
+    chip = F.ChipSpec.v5e()
+
+    if on_tpu:
+        cfg = LLMConfig.qwen2_0_5b()
+        B_train, T_train = 8, 1024
+        B_gen, P_gen, N_gen = 32, 256, 256
+        n_iters = 5
+    else:  # CPU smoke mode for development
+        cfg = LLMConfig.tiny()
+        B_train, T_train = 4, 128
+        B_gen, P_gen, N_gen = 4, 32, 32
+        n_iters = 2
+
+    rng = jax.random.PRNGKey(0)
+    params = init_params(cfg, rng)
+
+    # ---------------- train phase ----------------
+    tx = make_optimizer(OptimizerConfig(lr=1e-6))
+    state = create_train_state(lambda r: init_params(cfg, r), tx, rng)
+    train_step = make_policy_train_step(
+        cfg, PolicyLossConfig(logprob_chunk_size=256), tx, remat=True
+    )
+    r = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(r.integers(0, cfg.vocab_size, (B_train, T_train)), jnp.int32),
+        "attention_mask": jnp.ones((B_train, T_train), bool),
+        "target_ids": jnp.asarray(r.integers(0, cfg.vocab_size, (B_train, T_train)), jnp.int32),
+        "loss_mask": jnp.ones((B_train, T_train), bool),
+        "old_logprobs": jnp.asarray(r.normal(size=(B_train, T_train)) * 0.1, jnp.float32),
+        "advantages": jnp.asarray(r.normal(size=(B_train, T_train)), jnp.float32),
+    }
+    state, m = train_step(state, batch)  # compile
+    _sync(m)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, m = train_step(state, batch)
+    _sync(m)
+    train_time = (time.perf_counter() - t0) / n_iters
+    train_tokens = B_train * T_train
+
+    # ---------------- rollout phase ----------------
+    params = state.params
+    sp = SamplingParams(max_new_tokens=N_gen, temperature=1.0, eos_token_id=-1)
+    gen = jax.jit(lambda p, rng, ids, mask: generate(p, cfg, rng, ids, mask, sp))
+    ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B_gen, P_gen)), jnp.int32)
+    mask = jnp.ones((B_gen, P_gen), bool)
+    out = gen(params, rng, ids, mask)  # compile
+    _sync(out.response_ids)
+    t0 = time.perf_counter()
+    for _ in range(max(n_iters // 2, 1)):
+        out = gen(params, jax.random.fold_in(rng, 1), ids, mask)
+    _sync(out.response_ids)
+    gen_time = (time.perf_counter() - t0) / max(n_iters // 2, 1)
+    gen_tokens = B_gen * N_gen
+
+    # ---------------- roofline + report ----------------
+    total_tokens = gen_tokens + train_tokens
+    total_time = gen_time + train_time
+    value = total_tokens / total_time
+
+    sol_train = F.train_sol_time(cfg, chip, B_train, T_train)
+    sol_prefill = F.prefill_flops(cfg, B_gen, P_gen) / chip.bf16_flops
+    sol_decode = sum(
+        F.decode_sol_time(cfg, chip, B_gen, P_gen + t) for t in range(N_gen)
+    )
+    sol_time = sol_train + sol_prefill + sol_decode
+    vs_baseline = (sol_time / total_time) if on_tpu else 0.0
+
+    detail = {
+        "train_time_s": round(train_time, 4),
+        "train_mfu": round(F.train_mfu(cfg, chip, B_train, T_train, train_time), 4)
+        if on_tpu else None,
+        "gen_time_s": round(gen_time, 4),
+        "gen_tokens_per_s": round(gen_tokens / gen_time, 1),
+        "sol_time_s": round(sol_time, 4),
+        "platform": dev.platform,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "rl_e2e_tokens_per_s",
+                "value": round(value, 2),
+                "unit": "tok/s/chip",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""RolloutEngine: jitted batched generation with prompt-length bucketing.
+
+TPU-native replacement for the reference's rollout workers + embedded serving
+engines (reference rlinf/workers/rollout/sglang/sglang_worker.py:409 rollout
+loop, hybrid_engines/sglang/common/sgl_scheduler.py:52). Weight "sync" is the
+params pytree argument itself — the collocated-mode analog of the CUDA-IPC
+handle transfer (reference megatron_actor_worker.py:362): zero copies, the
+learner's sharded params feed generation directly.
+
+Prompt lengths are bucketed to bound recompilation: each (P_bucket) shape
+compiles once, then is cached by jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from rlinf_tpu.data.io_struct import RolloutRequest, RolloutResult
+from rlinf_tpu.models.llm import model as M
+from rlinf_tpu.models.llm.config import LLMConfig
+from rlinf_tpu.models.llm.sampler import SamplingParams, generate
+
+
+class RolloutEngine:
+    def __init__(
+        self,
+        cfg: LLMConfig,
+        sampling: SamplingParams,
+        *,
+        prompt_bucket: int = 64,
+        attn_impl: str = "xla",
+    ):
+        self.cfg = cfg
+        self.sampling = sampling
+        self.prompt_bucket = prompt_bucket
+        self.attn_impl = attn_impl
+        # static args: cfg/sp/attn_impl are closed over; shapes drive the cache
+        self._generate = jax.jit(
+            partial(
+                generate, cfg=cfg, sp=sampling, attn_impl=attn_impl
+            ),
+            static_argnames=(),
+        )
+
+    def rollout(
+        self,
+        params: M.Params,
+        request: RolloutRequest,
+        rng: jax.Array,
+    ) -> RolloutResult:
+        """Generate responses for a request batch (one DP shard's worth)."""
+        prompt_ids, prompt_mask = request.left_padded(
+            self.sampling.pad_token_id, bucket=self.prompt_bucket
+        )
+        out = self._generate(
+            params,
+            rng=rng,
+            prompt_ids=jax.numpy.asarray(prompt_ids),
+            prompt_mask=jax.numpy.asarray(prompt_mask),
+        )
+        return RolloutResult(
+            prompt_ids=prompt_ids,
+            prompt_mask=prompt_mask,
+            response_ids=np.asarray(out.response_ids),
+            response_mask=np.asarray(out.response_mask),
+            response_logprobs=np.asarray(out.response_logprobs),
+            answers=request.answers,
+        )

@@ -1,0 +1,204 @@
+"""Jitted policy update + logprob-recompute steps for LLM RL.
+
+This is the TPU-native actor worker: where the reference wires channel intake
+-> microbatch iterator -> Megatron fwd/bwd pipeline -> PPO loss
+(reference rlinf/workers/megatron_worker.py:606-808 and
+rlinf/workers/actor/megatron_actor_worker.py:115-187 forward_output_and_loss_func),
+here one jitted function runs grad-accumulated microbatches via ``lax.scan``
+with donated (state) buffers, and the loss consumes fused fp32 logprobs.
+
+Loss normalization semantics match the reference's ``token-mean`` default with
+``valid_token_scale`` support (megatron_worker.py:644): when microbatching,
+per-token losses are summed and divided by the GLOBAL valid-token count, so
+gradient accumulation is exactly equivalent to one big batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rlinf_tpu.algorithms.losses import compute_ppo_actor_loss
+from rlinf_tpu.algorithms.utils import kl_penalty, masked_mean
+from rlinf_tpu.models.llm import model as M
+from rlinf_tpu.models.llm.config import LLMConfig
+from rlinf_tpu.ops.logprobs import fused_linear_logprobs_and_entropy
+from rlinf_tpu.parallel.mesh import AxisNames as Ax
+from rlinf_tpu.training.train_state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicyLossConfig:
+    """Mirrors the reference's algorithm YAML block (clip ratios, entropy
+    bonus, KL beta — examples/reasoning/config/*.yaml)."""
+
+    clip_ratio_low: float = 0.2
+    clip_ratio_high: float = 0.2
+    clip_ratio_c: Optional[float] = None
+    entropy_bonus: float = 0.0
+    kl_beta: float = 0.0
+    kl_penalty_type: str = "low_var_kl"
+    loss_agg: str = "token-mean"
+    logprob_chunk_size: int = 512
+
+
+def _token_level_loss(
+    lp: jax.Array,
+    entropy: jax.Array,
+    batch: Dict[str, jax.Array],
+    loss_cfg: PolicyLossConfig,
+    global_valid_tokens: jax.Array,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Summed (not averaged) token loss; caller divides by global token count."""
+    mask = batch["loss_mask"]
+    mask_f = mask.astype(jnp.float32)
+
+    # PPO-clip on this microbatch, as a SUM over tokens (token-mean happens
+    # globally): reuse compute_ppo_actor_loss with a sum aggregator.
+    sum_agg = lambda v, m, *_: jnp.sum(v * m.astype(jnp.float32))
+    loss_sum, metrics = compute_ppo_actor_loss(
+        logprobs=lp,
+        old_logprobs=batch["old_logprobs"],
+        advantages=batch["advantages"],
+        loss_mask=mask,
+        clip_ratio_low=loss_cfg.clip_ratio_low,
+        clip_ratio_high=loss_cfg.clip_ratio_high,
+        clip_ratio_c=loss_cfg.clip_ratio_c,
+        loss_agg_func=sum_agg,
+    )
+
+    if loss_cfg.entropy_bonus > 0:
+        loss_sum = loss_sum - loss_cfg.entropy_bonus * jnp.sum(entropy * mask_f)
+    if loss_cfg.kl_beta > 0 and "ref_logprobs" in batch:
+        kld = kl_penalty(lp, batch["ref_logprobs"], loss_cfg.kl_penalty_type)
+        loss_sum = loss_sum + loss_cfg.kl_beta * jnp.sum(kld * mask_f)
+        metrics["actor/kl"] = jnp.sum(
+            jax.lax.stop_gradient(kld) * mask_f
+        ) / global_valid_tokens
+
+    metrics["actor/entropy"] = jnp.sum(
+        jax.lax.stop_gradient(entropy) * mask_f
+    ) / global_valid_tokens
+    return loss_sum / global_valid_tokens, metrics
+
+
+def make_policy_train_step(
+    cfg: LLMConfig,
+    loss_cfg: PolicyLossConfig,
+    tx,
+    *,
+    num_microbatches: int = 1,
+    remat: bool = True,
+    attn_impl: str = "xla",
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
+    """Build the jitted train step.
+
+    Batch dict (all [B, T] unless noted; B divisible by num_microbatches):
+      input_ids       int32  full sequences (prompt + response, right-padded)
+      attention_mask  bool   True on real tokens
+      loss_mask       bool   True on positions whose NEXT token is a response
+                             token (i.e. already shifted for next-token loss)
+      target_ids      int32  next-token targets (input_ids shifted left)
+      old_logprobs    fp32   behavior logprobs aligned with target_ids
+      advantages      fp32   per-token advantages aligned with target_ids
+      ref_logprobs    fp32   optional reference-policy logprobs
+    """
+
+    def microbatch_loss(params, mb, global_valid_tokens):
+        hidden, _ = M.forward_hidden(
+            params, cfg, mb["input_ids"],
+            attention_mask=mb["attention_mask"],
+            attn_impl=attn_impl, remat=remat,
+        )
+        w = M.lm_head_weight(params, cfg)
+        lp, ent = fused_linear_logprobs_and_entropy(
+            hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+        )
+        return _token_level_loss(lp, ent, mb, loss_cfg, global_valid_tokens)
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        global_valid = jnp.maximum(
+            jnp.sum(batch["loss_mask"].astype(jnp.float32)), 1.0
+        )
+
+        if num_microbatches == 1:
+            (loss, metrics), grads = jax.value_and_grad(
+                microbatch_loss, has_aux=True
+            )(state.params, batch, global_valid)
+        else:
+            def reshape(x):
+                return x.reshape(num_microbatches, -1, *x.shape[1:])
+
+            mbs = jax.tree_util.tree_map(reshape, batch)
+            grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+
+            def scan_body(carry, mb):
+                acc_grads, acc_loss = carry
+                (loss, metrics), grads = grad_fn(state.params, mb, global_valid)
+                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                return (acc_grads, acc_loss + loss), metrics
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (grads, loss), metrics_stack = jax.lax.scan(
+                scan_body, (zero_grads, jnp.zeros((), jnp.float32)), mbs
+            )
+            # Sums are already globally normalized; metrics averaged over mbs.
+            metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, 0), metrics_stack)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
+            state.params,
+            updates,
+        )
+        grad_norm = optax_global_norm(grads)
+        metrics = dict(metrics)
+        metrics["actor/loss"] = loss
+        metrics["actor/grad_norm"] = grad_norm
+        new_state = TrainState(state.step + 1, new_params, new_opt_state)
+        return new_state, metrics
+
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    return jitted
+
+
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves)
+    )
+
+
+def make_logprob_fn(
+    cfg: LLMConfig,
+    *,
+    chunk_size: int = 512,
+    attn_impl: str = "xla",
+    temperature: float = 1.0,
+) -> Callable[[Any, Dict[str, jax.Array]], Tuple[jax.Array, jax.Array]]:
+    """Forward-only logprob (+entropy) recompute — the inference worker
+    (reference rlinf/workers/inference/megatron_inference_worker.py:27,
+    run_inference megatron_worker.py:1173). Used for old/ref/proximal
+    logprobs in disaggregated or multi-epoch updates."""
+
+    def logprob_fn(params, batch):
+        hidden, _ = M.forward_hidden(
+            params, cfg, batch["input_ids"],
+            attention_mask=batch["attention_mask"], attn_impl=attn_impl,
+        )
+        w = M.lm_head_weight(params, cfg)
+        lp, ent = fused_linear_logprobs_and_entropy(
+            hidden, w, batch["target_ids"], chunk_size=chunk_size,
+            temperature=temperature,
+        )
+        return lp, ent
+
+    return jax.jit(logprob_fn)

@@ -1,0 +1,126 @@
+"""TrainState: params + optimizer state as a sharded pytree.
+
+The optimizer runs in float32 master precision with bf16 compute params — the
+TPU analog of Megatron's distributed optimizer with fp32 main params
+(reference rlinf/hybrid_engines/megatron/megatron_model_manager.py:753).
+Optimizer state inherits each parameter's sharding (ZeRO-like when params use
+the fsdp axis) automatically from pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from rlinf_tpu.parallel.sharding import (
+    match_partition_rules,
+    tree_shardings,
+)
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Mirrors the reference's optimizer YAML block (lr, betas, wd, clip,
+    warmup — e.g. examples/reasoning/config/*.yaml optim sections)."""
+
+    lr: float = 1e-6
+    min_lr: float = 0.0
+    weight_decay: float = 0.0
+    beta1: float = 0.9
+    beta2: float = 0.95
+    eps: float = 1e-8
+    clip_grad: float = 1.0
+    warmup_steps: int = 0
+    total_steps: int = 0  # 0 => constant after warmup
+    schedule: str = "constant"  # constant | cosine
+
+
+def make_schedule(cfg: OptimizerConfig):
+    if cfg.schedule == "cosine" and cfg.total_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=cfg.min_lr,
+        )
+    if cfg.warmup_steps > 0:
+        return optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    return cfg.lr
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.clip_grad) if cfg.clip_grad > 0 else optax.identity(),
+        optax.adamw(
+            learning_rate=make_schedule(cfg),
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+    return tx
+
+
+def create_train_state(
+    init_params_fn: Callable[[jax.Array], Any],
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    mesh: Optional[Mesh] = None,
+    partition_rules=None,
+) -> TrainState:
+    """Initialize params (+opt state) directly sharded on the mesh.
+
+    With a mesh: runs init under jit with out_shardings from the rule table so
+    large models materialize sharded, never replicated on one host.
+    """
+    if mesh is None:
+        params = init_params_fn(rng)
+        return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+    shapes = jax.eval_shape(init_params_fn, rng)
+    specs = match_partition_rules(partition_rules, shapes)
+    shardings = tree_shardings(shapes, specs, mesh)
+
+    with jax.set_mesh(mesh):
+        params = jax.jit(init_params_fn, out_shardings=shardings)(rng)
+        opt_shapes = jax.eval_shape(tx.init, shapes)
+        opt_specs = _opt_state_specs(opt_shapes, shapes, specs)
+        opt_shardings = tree_shardings(opt_shapes, opt_specs, mesh)
+        opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
+
+
+def _opt_state_specs(opt_shapes, param_shapes, param_specs):
+    """Give optimizer-state leaves that mirror a parameter its sharding;
+    everything else (counts, schedules) replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    flat_params = {
+        s.shape: spec
+        for s, spec in zip(
+            jax.tree_util.tree_leaves(param_shapes),
+            jax.tree_util.tree_leaves(
+                param_specs, is_leaf=lambda x: isinstance(x, P)
+            ),
+        )
+    }
+
+    def spec_for(leaf):
+        if hasattr(leaf, "shape") and leaf.shape in flat_params:
+            return flat_params[leaf.shape]
+        return P()
+
+    return jax.tree_util.tree_map(spec_for, opt_shapes)
