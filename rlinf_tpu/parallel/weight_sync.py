@@ -1,0 +1,203 @@
+"""Learner -> rollout weight synchronization across meshes.
+
+TPU-native re-design of the reference's weight-sync stack
+(reference rlinf/hybrid_engines/weight_syncer/base.py:30 strategy interface,
+bucket_syncer.py:113 fixed-size dtype-converted buckets, patch_syncer.py:138
+delta-encoded incremental patches; actor-side reshard+send at
+rlinf/workers/actor/megatron_actor_worker.py:308-424 and SGLang-side
+overlapped recv/load at sgl_scheduler.py:169-186).
+
+The mesh collapse (SURVEY.md §5.8) removes most of the machinery:
+
+* COLLOCATED  — learner and rollout share a mesh: sync is *free* (the params
+  pytree is passed to the next jitted call; the analog of CUDA-IPC handles).
+* DISAGGREGATED — disjoint device sets: ``jax.device_put`` with the target
+  NamedSharding performs the reshard + transfer (ICI within a slice, DCN
+  across). Buckets bound peak staging memory and give transfer/compute
+  overlap (device_put is async); the patch syncer ships only quantized deltas
+  vs the last-synced snapshot for bandwidth-bound DCN links.
+
+All syncers implement ``sync(params) -> rollout_params`` and stamp a version
+counter used by decoupled-PPO policy-lag accounting (losses.py analog of
+reference versions/current_version).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rlinf_tpu.parallel.sharding import (
+    match_partition_rules,
+    tree_shardings,
+)
+
+
+class WeightSyncer:
+    """Base: full-tensor resharding transfer (the bucket syncer with one
+    bucket per leaf)."""
+
+    def __init__(
+        self,
+        target_mesh: Mesh,
+        target_rules,
+        *,
+        dtype: Optional[str] = None,
+    ):
+        self.target_mesh = target_mesh
+        self.target_rules = target_rules
+        self.dtype = jnp.dtype(dtype) if dtype else None
+        self.version = 0
+        self._target_shardings = None
+
+    def _shardings_for(self, params):
+        if self._target_shardings is None:
+            specs = match_partition_rules(self.target_rules, params)
+            self._target_shardings = tree_shardings(
+                params, specs, self.target_mesh
+            )
+        return self._target_shardings
+
+    def _convert(self, leaf):
+        if self.dtype is not None and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(self.dtype)
+        return leaf
+
+    def sync(self, params) -> Any:
+        shardings = self._shardings_for(params)
+        out = jax.tree_util.tree_map(
+            lambda leaf, sh: jax.device_put(self._convert(leaf), sh),
+            params,
+            shardings,
+        )
+        self.version += 1
+        return out
+
+
+class BucketWeightSyncer(WeightSyncer):
+    """Transfers leaves in ~bucket_bytes groups, blocking between buckets so
+    at most one bucket is staged at a time (reference bucket_syncer.py:113
+    semantics: bounded peak memory, recv/load overlap within a bucket)."""
+
+    def __init__(self, target_mesh, target_rules, *, bucket_bytes: int = 512 << 20,
+                 dtype: Optional[str] = None):
+        super().__init__(target_mesh, target_rules, dtype=dtype)
+        self.bucket_bytes = bucket_bytes
+
+    def sync(self, params) -> Any:
+        shardings = self._shardings_for(params)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        sh_leaves = jax.tree_util.tree_leaves(
+            shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+        )
+        out, pending, pending_bytes = [], [], 0
+        for leaf, sh in zip(leaves, sh_leaves):
+            moved = jax.device_put(self._convert(leaf), sh)
+            out.append(moved)
+            pending.append(moved)
+            pending_bytes += leaf.nbytes
+            if pending_bytes >= self.bucket_bytes:
+                jax.block_until_ready(pending)
+                pending, pending_bytes = [], 0
+        if pending:
+            jax.block_until_ready(pending)
+        self.version += 1
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class PatchWeightSyncer(WeightSyncer):
+    """Delta sync: ship quantized (new - snapshot) and reconstruct on the
+    target (reference patch_syncer.py:138,260 behavior: snapshot on first
+    sync, int8-quantized per-leaf deltas afterwards)."""
+
+    def __init__(
+        self,
+        target_mesh,
+        target_rules,
+        *,
+        quantize: bool = True,
+        dtype: Optional[str] = None,
+    ):
+        super().__init__(target_mesh, target_rules, dtype=dtype)
+        self.quantize = quantize
+        self._snapshot = None           # source-side copy of last synced params
+        self._target_params = None      # target-side reconstruction state
+        self.last_bytes_sent = 0
+
+    def sync(self, params) -> Any:
+        shardings = self._shardings_for(params)
+        if self._snapshot is None:
+            # First sync: full transfer + snapshot.
+            self._target_params = jax.tree_util.tree_map(
+                lambda leaf, sh: jax.device_put(self._convert(leaf), sh),
+                params, shardings,
+            )
+            self._snapshot = jax.tree_util.tree_map(lambda x: x, params)
+            self.last_bytes_sent = sum(
+                l.nbytes for l in jax.tree_util.tree_leaves(params)
+            )
+            self.version += 1
+            return self._target_params
+
+        bytes_sent = 0
+
+        def send_leaf(new, old, tgt, sh):
+            """Returns (new_target_leaf, new_snapshot_leaf). The snapshot
+            mirrors the target's lossy reconstruction so quantization error
+            does NOT accumulate across syncs."""
+            nonlocal bytes_sent
+            if not jnp.issubdtype(new.dtype, jnp.floating) or not self.quantize:
+                bytes_sent += new.nbytes
+                moved = jax.device_put(self._convert(new), sh)
+                return moved, new
+            delta = new.astype(jnp.float32) - old.astype(jnp.float32)
+            scale = jnp.maximum(jnp.max(jnp.abs(delta)), 1e-12) / 127.0
+            q = jnp.clip(jnp.round(delta / scale), -127, 127).astype(jnp.int8)
+            bytes_sent += q.nbytes + 4
+            q_t = jax.device_put(q, sh)
+            scale_t = jax.device_put(scale, NamedSharding(self.target_mesh, P()))
+            recon = (
+                tgt.astype(jnp.float32) + q_t.astype(jnp.float32) * scale_t
+            ).astype(tgt.dtype)
+            # source-side mirror of the reconstruction (same arithmetic)
+            mirror = (
+                old.astype(jnp.float32) + q.astype(jnp.float32) * scale
+            ).astype(new.dtype)
+            return recon, mirror
+
+        pairs = jax.tree_util.tree_map(
+            send_leaf, params, self._snapshot, self._target_params, shardings,
+            is_leaf=lambda x: isinstance(x, jax.Array),
+        )
+        self._target_params = jax.tree_util.tree_map(
+            lambda p: p[0], pairs, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        self._snapshot = jax.tree_util.tree_map(
+            lambda p: p[1], pairs, is_leaf=lambda x: isinstance(x, tuple)
+        )
+        self.last_bytes_sent = bytes_sent
+        self.version += 1
+        return self._target_params
+
+
+_SYNCER_REGISTRY: Dict[str, type] = {
+    "full": WeightSyncer,
+    "bucket": BucketWeightSyncer,
+    "patch": PatchWeightSyncer,
+}
+
+
+def make_weight_syncer(kind: str, target_mesh, target_rules, **kw) -> WeightSyncer:
+    """Hydra-group analog of reference ``weight_syncer/{bucket,patch_syncer}``."""
+    try:
+        cls = _SYNCER_REGISTRY[kind]
+    except KeyError:
+        raise KeyError(
+            f"Unknown weight syncer {kind!r}; have {sorted(_SYNCER_REGISTRY)}"
+        ) from None
+    return cls(target_mesh, target_rules, **kw)
