@@ -31,7 +31,11 @@ from rlinf_tpu.data.datasets import PromptDataset, StatefulBatchIterator
 from rlinf_tpu.data.io_struct import RolloutRequest, RolloutResult, build_train_batch
 from rlinf_tpu.models.llm import init_params, model as M
 from rlinf_tpu.rollout.engine import RolloutEngine
-from rlinf_tpu.training.learner import make_logprob_fn, make_policy_train_step
+from rlinf_tpu.training.learner import (
+    make_logprob_fn,
+    make_policy_grad_and_apply,
+    make_policy_train_step,
+)
 from rlinf_tpu.training.train_state import TrainState, create_train_state, make_optimizer
 from rlinf_tpu.utils.checkpoint import CheckpointManager
 from rlinf_tpu.utils.metrics import MetricLogger, rollout_metrics
@@ -65,6 +69,13 @@ class ReasoningRunner:
             num_microbatches=cfg.num_microbatches,
             remat=cfg.remat, attn_impl=cfg.attn_impl, mesh=mesh,
         )
+        if cfg.loss.max_tokens_per_mb > 0:
+            self._grad_step, self._apply_step, self._zero_grads = (
+                make_policy_grad_and_apply(
+                    cfg.model, cfg.loss, self.tx,
+                    remat=cfg.remat, attn_impl=cfg.attn_impl,
+                )
+            )
         self.logprob_fn = (
             make_logprob_fn(
                 cfg.model,
@@ -130,6 +141,35 @@ class ReasoningRunner:
         )
         return np.asarray(adv).T  # [B, N]
 
+    def _dynamic_minibatch_update(self, batch_dict, train_batch, mb_idx):
+        """Token-budget microbatching path (reference dynamic batch size):
+        pack the minibatch's rows under max_tokens_per_mb, accumulate grads
+        over the packed microbatches, one optimizer step."""
+        from rlinf_tpu.data.dynamic_batching import pack_microbatches
+
+        np_batch = {k: np.asarray(v)[mb_idx] for k, v in batch_dict.items()}
+        lengths = np_batch["attention_mask"].sum(-1).astype(int)
+        mbs = pack_microbatches(
+            np_batch, lengths, self.cfg.loss.max_tokens_per_mb
+        )
+        global_valid = jnp.asarray(
+            max(float(np_batch["loss_mask"].sum()), 1.0), jnp.float32
+        )
+        grads = self._zero_grads(self.state.params)
+        total_loss, metrics = 0.0, {}
+        for mb in mbs:
+            mb_j = {k: jnp.asarray(v) for k, v in mb.items()}
+            grads, loss, metrics = self._grad_step(
+                self.state.params, grads, mb_j, global_valid
+            )
+            total_loss += float(np.asarray(loss))
+        self.state, grad_norm = self._apply_step(self.state, grads)
+        metrics = dict(metrics)
+        metrics["actor/loss"] = total_loss
+        metrics["actor/grad_norm"] = grad_norm
+        metrics["actor/num_dyn_microbatches"] = float(len(mbs))
+        return metrics
+
     def run_step(self) -> Dict[str, float]:
         cfg = self.cfg
         step_start = time.perf_counter()
@@ -176,8 +216,16 @@ class ReasoningRunner:
                         jax.random.permutation(self._next_rng(), B)
                     )
                 for mb_idx in np.split(perm, n_mini):
-                    mb = {k: v[jnp.asarray(mb_idx)] for k, v in batch_dict.items()}
-                    self.state, metrics = self.train_step(self.state, mb)
+                    if cfg.loss.max_tokens_per_mb > 0:
+                        metrics = self._dynamic_minibatch_update(
+                            batch_dict, train_batch, mb_idx
+                        )
+                    else:
+                        mb = {
+                            k: v[jnp.asarray(mb_idx)]
+                            for k, v in batch_dict.items()
+                        }
+                        self.state, metrics = self.train_step(self.state, mb)
             jax.block_until_ready(metrics)
 
         # 5. metrics / checkpoint ------------------------------------------

@@ -45,6 +45,9 @@ class PolicyLossConfig:
     kl_penalty_type: str = "low_var_kl"
     loss_agg: str = "token-mean"
     logprob_chunk_size: int = 512
+    #: >0 enables dynamic token-budget microbatching (reference
+    #: enable_dynamic_batch_size + max_tokens_per_mbs)
+    max_tokens_per_mb: int = 0
 
 
 def _token_level_loss(
@@ -168,6 +171,63 @@ def make_policy_train_step(
 
     jitted = jax.jit(train_step, donate_argnums=(0,))
     return jitted
+
+
+def make_policy_grad_and_apply(
+    cfg: LLMConfig,
+    loss_cfg: PolicyLossConfig,
+    tx,
+    *,
+    remat: bool = True,
+    attn_impl: str = "xla",
+):
+    """Split train step for DYNAMIC microbatching: ``grad_step`` is jitted
+    per microbatch shape bucket (accumulating into a grads pytree normalized
+    by the global token count), ``apply_step`` performs one optimizer update.
+
+    Together with data/dynamic_batching.pack_microbatches this reproduces the
+    reference's dynamic-batch-size training (megatron_worker.py:323,644)
+    with identical gradients to the one-big-batch form.
+    """
+
+    def mb_loss(params, mb, global_valid_tokens):
+        hidden, _ = M.forward_hidden(
+            params, cfg, mb["input_ids"],
+            attention_mask=mb["attention_mask"],
+            attn_impl=attn_impl, remat=remat,
+        )
+        w = M.lm_head_weight(params, cfg)
+        lp, ent = fused_linear_logprobs_and_entropy(
+            hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+        )
+        return _token_level_loss(lp, ent, mb, loss_cfg, global_valid_tokens)
+
+    @jax.jit
+    def grad_step(params, acc_grads, mb, global_valid_tokens):
+        (loss, metrics), grads = jax.value_and_grad(mb_loss, has_aux=True)(
+            params, mb, global_valid_tokens
+        )
+        acc_grads = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(jnp.float32), acc_grads, grads
+        )
+        return acc_grads, loss, metrics
+
+    @jax.jit
+    def apply_step(state: TrainState, grads):
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
+            state.params, updates,
+        )
+        grad_norm = optax_global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt), grad_norm
+
+    def zero_grads(params):
+        return jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+
+    return grad_step, apply_step, zero_grads
 
 
 def optax_global_norm(tree) -> jax.Array:
