@@ -28,6 +28,12 @@ class LLMConfig:
     tie_word_embeddings: bool = True
     qkv_bias: bool = True  # Qwen2 uses qkv biases
     dtype: str = "bfloat16"  # activation/weight compute dtype
+    # MoE (0 experts => dense MLP). Mirrors Qwen3-MoE-style geometry
+    # (reference e2e MoE configs, tests/e2e_tests/reasoning/qwen3-moe-*).
+    num_experts: int = 0
+    num_experts_per_token: int = 2
+    moe_capacity_factor: float = 1.5
+    moe_aux_loss_coef: float = 0.01
 
     @property
     def head_dim_(self) -> int:
@@ -44,6 +50,21 @@ class LLMConfig:
     @property
     def compute_dtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @property
+    def moe_config(self):
+        from rlinf_tpu.ops.moe import MoEConfig
+
+        return MoEConfig(
+            num_experts=self.num_experts,
+            num_experts_per_token=self.num_experts_per_token,
+            capacity_factor=self.moe_capacity_factor,
+            aux_loss_coef=self.moe_aux_loss_coef,
+        )
 
     def num_params(self) -> int:
         """Analytic parameter count (embedding counted once if tied)."""

@@ -60,6 +60,10 @@ def partition_rules():
         (r"blocks/gate", P(None, f, t)),
         (r"blocks/up", P(None, f, t)),
         (r"blocks/down", P(None, t, f)),
+        (r"blocks/moe_router", P(None, f, None)),
+        (r"blocks/moe_gate", P(None, Ax.EXPERT, f, t)),
+        (r"blocks/moe_up", P(None, Ax.EXPERT, f, t)),
+        (r"blocks/moe_down", P(None, Ax.EXPERT, t, f)),
         (r"blocks/attn_norm", P(None, None)),
         (r"blocks/mlp_norm", P(None, None)),
         (r"final_norm", P()),
@@ -77,19 +81,28 @@ def init_params(cfg: LLMConfig, rng: jax.Array) -> Params:
     def norm_init(key, shape):
         return jax.random.normal(key, shape, jnp.float32).astype(dt) * 0.02
 
+    blocks: Params = {
+        "attn_norm": jnp.ones((l, d), dt),
+        "wq": norm_init(keys[1], (l, d, qd)),
+        "wk": norm_init(keys[2], (l, d, kvd)),
+        "wv": norm_init(keys[3], (l, d, kvd)),
+        "wo": norm_init(keys[4], (l, qd, d)),
+        "mlp_norm": jnp.ones((l, d), dt),
+    }
+    if cfg.is_moe:
+        e = cfg.num_experts
+        moe_keys = jax.random.split(keys[5], 4)
+        blocks["moe_router"] = norm_init(moe_keys[0], (l, d, e))
+        blocks["moe_gate"] = norm_init(moe_keys[1], (l, e, d, f))
+        blocks["moe_up"] = norm_init(moe_keys[2], (l, e, d, f))
+        blocks["moe_down"] = norm_init(moe_keys[3], (l, e, f, d))
+    else:
+        blocks["gate"] = norm_init(keys[5], (l, d, f))
+        blocks["up"] = norm_init(keys[6], (l, d, f))
+        blocks["down"] = norm_init(keys[7], (l, f, d))
     params: Params = {
         "embed": norm_init(keys[0], (cfg.vocab_size, d)),
-        "blocks": {
-            "attn_norm": jnp.ones((l, d), dt),
-            "wq": norm_init(keys[1], (l, d, qd)),
-            "wk": norm_init(keys[2], (l, d, kvd)),
-            "wv": norm_init(keys[3], (l, d, kvd)),
-            "wo": norm_init(keys[4], (l, qd, d)),
-            "mlp_norm": jnp.ones((l, d), dt),
-            "gate": norm_init(keys[5], (l, d, f)),
-            "up": norm_init(keys[6], (l, d, f)),
-            "down": norm_init(keys[7], (l, f, d)),
-        },
+        "blocks": blocks,
         "final_norm": jnp.ones((d,), dt),
     }
     if cfg.qkv_bias:
@@ -104,6 +117,24 @@ def init_params(cfg: LLMConfig, rng: jax.Array) -> Params:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+def _mlp_or_moe(cfg: LLMConfig, x, layer):
+    """Dense SwiGLU MLP or MoE block, residual included. Returns (x, aux)."""
+    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+    if cfg.is_moe:
+        from rlinf_tpu.ops.moe import moe_layer
+
+        moe_params = {
+            "router": layer["moe_router"],
+            "gate": layer["moe_gate"],
+            "up": layer["moe_up"],
+            "down": layer["moe_down"],
+        }
+        out, aux = moe_layer(moe_params, h, cfg.moe_config)
+        return x + out, aux
+    gated = jax.nn.silu(h @ layer["gate"]) * (h @ layer["up"])
+    return x + gated @ layer["down"], jnp.zeros((), jnp.float32)
+
 
 def _block(
     cfg: LLMConfig,
@@ -141,10 +172,8 @@ def _block(
     )
     x = x + attn.reshape(B, S, cfg.q_dim) @ layer["wo"]
 
-    h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-    gated = jax.nn.silu(h @ layer["gate"]) * (h @ layer["up"])
-    x = x + gated @ layer["down"]
-    return x, (k, v)
+    x, aux = _mlp_or_moe(cfg, x, layer)
+    return x, (k, v), aux
 
 
 def forward_hidden(
@@ -157,10 +186,12 @@ def forward_hidden(
     attn_impl: str = "xla",
     return_kv: bool = False,
     remat: bool = False,
+    return_aux: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Token ids -> final hidden states [B, S, D] (pre-lm_head).
 
     attention_mask: [B, S] bool, False = padding (left or right).
+    return_aux: also return the summed MoE auxiliary (load-balance) loss.
     """
     B, S = input_ids.shape
     if positions is None:
@@ -181,13 +212,18 @@ def forward_hidden(
     if remat:
         block_fn = jax.checkpoint(block_fn)
 
-    def scan_fn(x, layer):
-        x, kv = block_fn(x, layer)
-        return x, kv if return_kv else None
+    def scan_fn(carry, layer):
+        x, aux_sum = carry
+        x, kv, aux = block_fn(x, layer)
+        return (x, aux_sum + aux), kv if return_kv else None
 
-    x, kvs = jax.lax.scan(scan_fn, x, params["blocks"])
+    (x, aux_sum), kvs = jax.lax.scan(
+        scan_fn, (x, jnp.zeros((), jnp.float32)), params["blocks"]
+    )
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     cache = KVCache(k=kvs[0], v=kvs[1]) if return_kv else None
+    if return_aux:
+        return x, cache, aux_sum
     return x, cache
 
 
@@ -290,9 +326,7 @@ def decode_step(
         )
         attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
         x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
-        h = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(h @ layer["gate"]) * (h @ layer["up"])
-        x = x + gated @ layer["down"]
+        x, _ = _mlp_or_moe(cfg, x, layer)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))

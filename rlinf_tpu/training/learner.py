@@ -114,16 +114,33 @@ def make_policy_train_step(
     """
 
     def microbatch_loss(params, mb, global_valid_tokens):
-        hidden, _ = M.forward_hidden(
-            params, cfg, mb["input_ids"],
-            attention_mask=mb["attention_mask"],
-            attn_impl=attn_impl, remat=remat,
-        )
+        moe_aux = jnp.zeros((), jnp.float32)
+        if cfg.is_moe:
+            hidden, _, moe_aux = M.forward_hidden(
+                params, cfg, mb["input_ids"],
+                attention_mask=mb["attention_mask"],
+                attn_impl=attn_impl, remat=remat, return_aux=True,
+            )
+        else:
+            hidden, _ = M.forward_hidden(
+                params, cfg, mb["input_ids"],
+                attention_mask=mb["attention_mask"],
+                attn_impl=attn_impl, remat=remat,
+            )
         w = M.lm_head_weight(params, cfg)
         lp, ent = fused_linear_logprobs_and_entropy(
             hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
         )
-        return _token_level_loss(lp, ent, mb, loss_cfg, global_valid_tokens)
+        loss, metrics = _token_level_loss(
+            lp, ent, mb, loss_cfg, global_valid_tokens
+        )
+        if cfg.is_moe:
+            # weight aux by this microbatch's token share so accumulation over
+            # microbatches equals the one-big-batch aux
+            local = jnp.sum(mb["loss_mask"].astype(jnp.float32))
+            loss = loss + moe_aux * local / global_valid_tokens
+            metrics["actor/moe_aux_loss"] = jax.lax.stop_gradient(moe_aux)
+        return loss, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         global_valid = jnp.maximum(
@@ -173,6 +190,35 @@ def make_policy_train_step(
     return jitted
 
 
+def microbatch_loss_with_moe(
+    params, cfg, loss_cfg, mb, global_valid_tokens, *, attn_impl, remat
+):
+    """Shared microbatch loss (PPO-clip + entropy/KL + MoE aux)."""
+    moe_aux = jnp.zeros((), jnp.float32)
+    if cfg.is_moe:
+        hidden, _, moe_aux = M.forward_hidden(
+            params, cfg, mb["input_ids"],
+            attention_mask=mb["attention_mask"],
+            attn_impl=attn_impl, remat=remat, return_aux=True,
+        )
+    else:
+        hidden, _ = M.forward_hidden(
+            params, cfg, mb["input_ids"],
+            attention_mask=mb["attention_mask"],
+            attn_impl=attn_impl, remat=remat,
+        )
+    w = M.lm_head_weight(params, cfg)
+    lp, ent = fused_linear_logprobs_and_entropy(
+        hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+    )
+    loss, metrics = _token_level_loss(lp, ent, mb, loss_cfg, global_valid_tokens)
+    if cfg.is_moe:
+        local = jnp.sum(mb["loss_mask"].astype(jnp.float32))
+        loss = loss + moe_aux * local / global_valid_tokens
+        metrics["actor/moe_aux_loss"] = jax.lax.stop_gradient(moe_aux)
+    return loss, metrics
+
+
 def make_policy_grad_and_apply(
     cfg: LLMConfig,
     loss_cfg: PolicyLossConfig,
@@ -191,16 +237,10 @@ def make_policy_grad_and_apply(
     """
 
     def mb_loss(params, mb, global_valid_tokens):
-        hidden, _ = M.forward_hidden(
-            params, cfg, mb["input_ids"],
-            attention_mask=mb["attention_mask"],
+        return microbatch_loss_with_moe(
+            params, cfg, loss_cfg, mb, global_valid_tokens,
             attn_impl=attn_impl, remat=remat,
         )
-        w = M.lm_head_weight(params, cfg)
-        lp, ent = fused_linear_logprobs_and_entropy(
-            hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
-        )
-        return _token_level_loss(lp, ent, mb, loss_cfg, global_valid_tokens)
 
     @jax.jit
     def grad_step(params, acc_grads, mb, global_valid_tokens):
