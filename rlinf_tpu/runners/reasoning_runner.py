@@ -32,6 +32,7 @@ from rlinf_tpu.data.io_struct import RolloutRequest, RolloutResult, build_train_
 from rlinf_tpu.models.llm import init_params, model as M
 from rlinf_tpu.rollout.engine import RolloutEngine
 from rlinf_tpu.training.learner import (
+    make_actor_critic_train_step,
     make_logprob_fn,
     make_policy_grad_and_apply,
     make_policy_train_step,
@@ -64,11 +65,27 @@ class ReasoningRunner:
             cfg.model, cfg.sampling, attn_impl=cfg.attn_impl
         )
         self.tx = make_optimizer(cfg.optimizer)
-        self.train_step = make_policy_train_step(
-            cfg.model, cfg.loss, self.tx,
-            num_microbatches=cfg.num_microbatches,
-            remat=cfg.remat, attn_impl=cfg.attn_impl, mesh=mesh,
-        )
+        self.with_critic = cfg.algorithm.adv_type == "gae"
+        if self.with_critic:
+            # PPO with a learned critic (value head on the shared trunk) —
+            # the reference's MegatronCritic path (critic worker + GAE).
+            self.train_step = make_actor_critic_train_step(
+                cfg.model, cfg.loss, self.tx,
+                remat=cfg.remat, attn_impl=cfg.attn_impl,
+            )
+            from rlinf_tpu.models.llm.value_head import forward_values
+
+            self._value_fn = jax.jit(
+                lambda params, ids, mask: forward_values(
+                    params, cfg.model, ids, mask, attn_impl=cfg.attn_impl
+                )
+            )
+        else:
+            self.train_step = make_policy_train_step(
+                cfg.model, cfg.loss, self.tx,
+                num_microbatches=cfg.num_microbatches,
+                remat=cfg.remat, attn_impl=cfg.attn_impl, mesh=mesh,
+            )
         if cfg.loss.max_tokens_per_mb > 0:
             self._grad_step, self._apply_step, self._zero_grads = (
                 make_policy_grad_and_apply(
@@ -87,9 +104,17 @@ class ReasoningRunner:
             else None
         )
 
-        init_fn = init_params_override or (
+        base_init = init_params_override or (
             lambda rng: init_params(cfg.model, rng)
         )
+        if self.with_critic:
+            from rlinf_tpu.models.llm.value_head import add_value_head
+
+            init_fn = lambda rng: add_value_head(
+                base_init(rng), cfg.model, jax.random.fold_in(rng, 7)
+            )
+        else:
+            init_fn = base_init
         rng = jax.random.PRNGKey(cfg.runner.seed)
         self._rng, init_rng = jax.random.split(rng)
         self.state = create_train_state(
@@ -141,6 +166,50 @@ class ReasoningRunner:
         )
         return np.asarray(adv).T  # [B, N]
 
+    def _gae_token_advantages(self, train_batch, rewards):
+        """Token-level GAE with a critic: sequence reward lands on the last
+        response token; bootstrap is cut at that token (done). Reference
+        semantics: GAE over response tokens with fp32 values
+        (advantages.py:25 + critic worker)."""
+        a = self.cfg.algorithm
+        ids = jnp.asarray(train_batch.input_ids)
+        amask = jnp.asarray(train_batch.attention_mask)
+        values_bt = np.asarray(
+            self._value_fn(self.state.params, ids, amask)
+        )  # [B, T]
+        lm = train_batch.loss_mask  # [B, T] bool
+        B, T = lm.shape
+        values_bt = values_bt * lm  # values outside the response don't matter
+
+        # last valid loss position per row
+        last_pos = T - 1 - np.argmax(lm[:, ::-1], axis=1)  # [B]
+        has_any = lm.any(axis=1)
+        rewards_tb = np.zeros((T, B), np.float32)
+        rewards_tb[last_pos[has_any], np.nonzero(has_any)[0]] = rewards[has_any]
+        dones_tb = np.zeros((T + 1, B), np.float32)
+        dones_tb[last_pos[has_any] + 1, np.nonzero(has_any)[0]] = 1.0
+        values_tb = np.concatenate(
+            [values_bt.T, np.zeros((1, B), np.float32)], axis=0
+        )
+
+        gae = get_advantage_fn("gae")
+        adv, ret = gae(
+            rewards=jnp.asarray(rewards_tb),
+            values=jnp.asarray(values_tb),
+            dones=jnp.asarray(dones_tb),
+            gamma=a.gamma,
+            gae_lambda=a.gae_lambda,
+            normalize_advantages=a.normalize_advantages,
+            loss_mask=jnp.asarray(lm.T),
+        )
+        adv = np.asarray(adv).T * lm
+        ret = np.asarray(ret).T * lm
+        return {
+            "advantages": adv.astype(np.float32),
+            "returns": ret.astype(np.float32),
+            "prev_values": values_bt.astype(np.float32),
+        }
+
     def _dynamic_minibatch_update(self, batch_dict, train_batch, mb_idx):
         """Token-budget microbatching path (reference dynamic batch size):
         pack the minibatch's rows under max_tokens_per_mb, accumulate grads
@@ -191,11 +260,26 @@ class ReasoningRunner:
             result.rewards = rewards
 
         # 3. advantages + batch assembly ------------------------------------
-        token_advantages = self._compute_advantages(result, rewards)
-        train_batch = build_train_batch(
-            result, token_advantages, pad_id=cfg.sampling.pad_token_id
-        )
-        batch_dict = {k: jnp.asarray(v) for k, v in train_batch.to_dict().items()}
+        if self.with_critic:
+            train_batch = build_train_batch(
+                result, np.zeros_like(result.response_logprobs),
+                pad_id=cfg.sampling.pad_token_id,
+            )
+            extra = self._gae_token_advantages(train_batch, rewards)
+            train_batch.advantages = extra["advantages"]
+            batch_dict = {
+                k: jnp.asarray(v) for k, v in train_batch.to_dict().items()
+            }
+            batch_dict["returns"] = jnp.asarray(extra["returns"])
+            batch_dict["prev_values"] = jnp.asarray(extra["prev_values"])
+        else:
+            token_advantages = self._compute_advantages(result, rewards)
+            train_batch = build_train_batch(
+                result, token_advantages, pad_id=cfg.sampling.pad_token_id
+            )
+            batch_dict = {
+                k: jnp.asarray(v) for k, v in train_batch.to_dict().items()
+            }
 
         # 3b. optional fp32 logprob recompute (reference run_inference)
         if self.logprob_fn is not None:
@@ -236,8 +320,23 @@ class ReasoningRunner:
                 result.response_lengths, rewards, cfg.sampling.max_new_tokens
             )
         )
-        out.update({f"time/{k}": v for k, v in self.timers.consume().items()})
+        times = self.timers.consume()
+        out.update({f"time/{k}": v for k, v in times.items()})
         out["time/step"] = time.perf_counter() - step_start
+
+        # perf accounting (reference FLOPs metrics, utils/flops.py:45 +
+        # reasoning_runner.py:322-357)
+        from rlinf_tpu.utils import flops as F
+
+        gen_tokens = float(result.response_lengths.sum())
+        train_tokens = float(train_batch.attention_mask.sum()) * cfg.runner.num_epochs
+        if times.get("rollout"):
+            out["perf/gen_tokens_per_s"] = gen_tokens / times["rollout"]
+        if times.get("training"):
+            out["perf/train_tokens_per_s"] = train_tokens / times["training"]
+            tr_flops = 3.0 * F.model_matmul_flops_per_token(cfg.model) * train_tokens
+            out["perf/train_tflops_per_s"] = tr_flops / times["training"] / 1e12
+        out["perf/e2e_tokens_per_s"] = (gen_tokens + train_tokens) / out["time/step"]
         self.logger.log(out, self.global_step)
 
         if (

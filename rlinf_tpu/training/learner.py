@@ -302,3 +302,68 @@ def make_logprob_fn(
         return lp, ent
 
     return jax.jit(logprob_fn)
+
+
+def make_actor_critic_train_step(
+    cfg: LLMConfig,
+    loss_cfg: PolicyLossConfig,
+    tx,
+    *,
+    value_clip: float = 0.2,
+    huber_delta: float = 10.0,
+    value_coef: float = 1.0,
+    remat: bool = True,
+    attn_impl: str = "xla",
+):
+    """PPO actor-critic step for LLMs with a shared trunk + value head
+    (reference MegatronCritic / actor_critic loss, losses.py:383). Batch adds
+    ``returns`` and ``prev_values`` (fp32, aligned with target_ids)."""
+    from rlinf_tpu.algorithms.losses import compute_ppo_critic_loss
+
+    def loss_fn(params, batch):
+        hidden, _ = M.forward_hidden(
+            params, cfg, batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            attn_impl=attn_impl, remat=remat,
+        )
+        w = M.lm_head_weight(params, cfg)
+        lp, ent = fused_linear_logprobs_and_entropy(
+            hidden, w, batch["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+        )
+        values = jnp.einsum(
+            "bsd,do->bso", hidden, params["value_head"],
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+
+        global_valid = jnp.maximum(
+            jnp.sum(batch["loss_mask"].astype(jnp.float32)), 1.0
+        )
+        actor_loss, metrics = _token_level_loss(
+            lp, ent, batch, loss_cfg, global_valid
+        )
+        critic_loss, cmetrics = compute_ppo_critic_loss(
+            values=values,
+            returns=batch["returns"],
+            prev_values=batch["prev_values"],
+            value_clip=value_clip,
+            huber_delta=huber_delta,
+            loss_mask=batch["loss_mask"],
+        )
+        metrics.update(cmetrics)
+        return actor_loss + value_coef * critic_loss, metrics
+
+    def train_step(state: TrainState, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32)).astype(p.dtype),
+            state.params, updates,
+        )
+        metrics = dict(metrics)
+        metrics["actor/loss"] = loss
+        metrics["actor/grad_norm"] = optax_global_norm(grads)
+        return TrainState(state.step + 1, new_params, new_opt), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

@@ -127,3 +127,27 @@ def test_config_yaml_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="Unknown keys"):
         config_from_dict({"model": {"bogus_field": 1}})
+
+
+def test_ppo_with_critic_learns(toy_dataset):
+    """GAE + learned value head (actor-critic) must also learn the synthetic
+    reward — exercises the MegatronCritic-analog path."""
+    from rlinf_tpu.config import AlgorithmConfig, RunnerConfig
+
+    cfg = _make_cfg(
+        algorithm=AlgorithmConfig(
+            adv_type="gae", group_size=4, gamma=1.0, gae_lambda=0.95
+        ),
+        runner=RunnerConfig(rollout_batch_size=16, max_steps=30, seed=0),
+    )
+    runner = ReasoningRunner(
+        cfg, ByteTokenizer(), toy_dataset, reward_fn=_char_frequency_reward
+    )
+    assert runner.with_critic
+    assert "value_head" in runner.state.params
+    history = runner.run(max_steps=25)
+    for key in ["critic/value_loss", "critic/explained_variance"]:
+        assert key in history[-1]
+    first5 = np.mean([h["rollout/reward_mean"] for h in history[:5]])
+    last5 = np.mean([h["rollout/reward_mean"] for h in history[-5:]])
+    assert last5 > first5 + 0.03, f"no learning: {first5:.4f} -> {last5:.4f}"
