@@ -88,3 +88,45 @@ def load_hf_pretrained(model_name_or_path: str, dtype: str = "bfloat16"):
     )
     params = params_from_hf_state_dict(model.state_dict(), cfg)
     return cfg, params
+
+
+def params_to_hf_state_dict(params, cfg: LLMConfig) -> Dict[str, "np.ndarray"]:
+    """Inverse relayout: our stacked params -> HF Qwen2/Llama state dict
+    (numpy). The export half of the reference's checkpoint converters
+    (reference utils/ckpt_convertor/). Pass to
+    ``model.load_state_dict({k: torch.from_numpy(v) ...})``.
+    """
+    import numpy as np
+
+    blocks = params["blocks"]
+    out: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params["embed"], np.float32),
+        "model.norm.weight": np.asarray(params["final_norm"], np.float32),
+    }
+    L = cfg.num_layers
+
+    def put(name, arr, transpose=False):
+        a = np.asarray(arr, np.float32)
+        out[name] = a.T if transpose else a
+
+    for i in range(L):
+        p = f"model.layers.{i}."
+        put(p + "input_layernorm.weight", blocks["attn_norm"][i])
+        put(p + "self_attn.q_proj.weight", blocks["wq"][i], transpose=True)
+        put(p + "self_attn.k_proj.weight", blocks["wk"][i], transpose=True)
+        put(p + "self_attn.v_proj.weight", blocks["wv"][i], transpose=True)
+        put(p + "self_attn.o_proj.weight", blocks["wo"][i], transpose=True)
+        put(p + "post_attention_layernorm.weight", blocks["mlp_norm"][i])
+        put(p + "mlp.gate_proj.weight", blocks["gate"][i], transpose=True)
+        put(p + "mlp.up_proj.weight", blocks["up"][i], transpose=True)
+        put(p + "mlp.down_proj.weight", blocks["down"][i], transpose=True)
+        if cfg.qkv_bias:
+            put(p + "self_attn.q_proj.bias", blocks["bq"][i])
+            put(p + "self_attn.k_proj.bias", blocks["bk"][i])
+            put(p + "self_attn.v_proj.bias", blocks["bv"][i])
+    if cfg.tie_word_embeddings:
+        # HF state dicts materialize the tied head; mirror that.
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    else:
+        put("lm_head.weight", params["lm_head"], transpose=True)
+    return out
