@@ -52,16 +52,29 @@ class RolloutEngine:
         params: M.Params,
         request: RolloutRequest,
         rng: jax.Array,
+        *,
+        mesh=None,
     ) -> RolloutResult:
-        """Generate responses for a request batch (one DP shard's worth)."""
+        """Generate responses for a request batch. With a mesh, prompts are
+        sharded over the data axes (DP rollout; the reference's per-engine DP
+        instance split, sglang_worker.py:409)."""
         prompt_ids, prompt_mask = request.left_padded(
             self.sampling.pad_token_id, bucket=self.prompt_bucket
         )
+        ids = jax.numpy.asarray(prompt_ids)
+        mask = jax.numpy.asarray(prompt_mask)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from rlinf_tpu.parallel.mesh import AxisNames as Ax
+
+            sharding = NamedSharding(mesh, P(Ax.BATCH, None))
+            ids = jax.device_put(ids, sharding)
+            mask = jax.device_put(mask, sharding)
         out = self._generate(
             params,
             rng=rng,
-            prompt_ids=jax.numpy.asarray(prompt_ids),
-            prompt_mask=jax.numpy.asarray(prompt_mask),
+            prompt_ids=ids,
+            prompt_mask=mask,
         )
         return RolloutResult(
             prompt_ids=prompt_ids,

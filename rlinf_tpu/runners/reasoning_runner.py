@@ -166,6 +166,23 @@ class ReasoningRunner:
         )
         return np.asarray(adv).T  # [B, N]
 
+    def _put_batch(self, arrays):
+        """Host batch -> device, sharded over the data axes when a mesh is
+        active (DP; reference per-component DP routing, CommMapper analog)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rlinf_tpu.parallel.mesh import AxisNames as Ax
+
+        sharding = NamedSharding(self.mesh, P(Ax.BATCH))
+        out = {}
+        for k, v in arrays.items():
+            spec = P(Ax.BATCH, *([None] * (np.ndim(v) - 1)))
+            out[k] = jax.device_put(
+                jnp.asarray(v), NamedSharding(self.mesh, spec)
+            )
+        return out
+
     def _gae_token_advantages(self, train_batch, rewards):
         """Token-level GAE with a critic: sequence reward lands on the last
         response token; bootstrap is cut at that token (done). Reference
@@ -248,7 +265,7 @@ class ReasoningRunner:
         request = self._make_request(examples)
         with self.timers.scope("rollout"):
             result = self.engine.rollout(
-                self.state.params, request, self._next_rng()
+                self.state.params, request, self._next_rng(), mesh=self.mesh
             )
 
         # 2. rewards --------------------------------------------------------
@@ -267,19 +284,17 @@ class ReasoningRunner:
             )
             extra = self._gae_token_advantages(train_batch, rewards)
             train_batch.advantages = extra["advantages"]
-            batch_dict = {
-                k: jnp.asarray(v) for k, v in train_batch.to_dict().items()
-            }
-            batch_dict["returns"] = jnp.asarray(extra["returns"])
-            batch_dict["prev_values"] = jnp.asarray(extra["prev_values"])
+            batch_dict = self._put_batch(train_batch.to_dict())
+            batch_dict["returns"] = self._put_batch(
+                {"r": extra["returns"]})["r"]
+            batch_dict["prev_values"] = self._put_batch(
+                {"v": extra["prev_values"]})["v"]
         else:
             token_advantages = self._compute_advantages(result, rewards)
             train_batch = build_train_batch(
                 result, token_advantages, pad_id=cfg.sampling.pad_token_id
             )
-            batch_dict = {
-                k: jnp.asarray(v) for k, v in train_batch.to_dict().items()
-            }
+            batch_dict = self._put_batch(train_batch.to_dict())
 
         # 3b. optional fp32 logprob recompute (reference run_inference)
         if self.logprob_fn is not None:
