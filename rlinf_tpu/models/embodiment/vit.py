@@ -1,0 +1,105 @@
+"""Minimal ViT image encoder (patchify + pre-norm transformer, NHWC).
+
+Backbone for VLA policies — the in-tree analog of the reference's prismatic /
+SigLIP vision towers (reference rlinf/models/embodiment/prismatic, ~4k LoC of
+torch). Reuses the framework's attention op in bidirectional mode (all
+positions equal => no causal mask).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rlinf_tpu.ops.attention import causal_attention
+from rlinf_tpu.ops.norm import rms_norm
+
+
+def _linear_init(rng, fan_in, fan_out, scale=None):
+    scale = scale or (1.0 / math.sqrt(fan_in))
+    w = jax.random.uniform(rng, (fan_in, fan_out), jnp.float32, -scale, scale)
+    return {"w": w, "b": jnp.zeros((fan_out,), jnp.float32)}
+
+
+class ViTConfig:
+    def __init__(
+        self,
+        image_size: int = 96,
+        patch_size: int = 16,
+        hidden: int = 128,
+        layers: int = 4,
+        heads: int = 4,
+        mlp_ratio: int = 4,
+        channels: int = 3,
+    ):
+        assert image_size % patch_size == 0
+        self.image_size = image_size
+        self.patch_size = patch_size
+        self.hidden = hidden
+        self.layers = layers
+        self.heads = heads
+        self.mlp_ratio = mlp_ratio
+        self.channels = channels
+        self.num_patches = (image_size // patch_size) ** 2
+        self.patch_dim = patch_size * patch_size * channels
+
+
+def init_vit(cfg: ViTConfig, rng: jax.Array) -> Dict:
+    keys = jax.random.split(rng, 6)
+    L, D = cfg.layers, cfg.hidden
+    F = D * cfg.mlp_ratio
+    init = lambda k, shape: jax.random.normal(k, shape, jnp.float32) * 0.02
+    return {
+        "patch_proj": _linear_init(keys[0], cfg.patch_dim, D),
+        "pos_embed": init(keys[1], (cfg.num_patches, D)),
+        "blocks": {
+            "norm1": jnp.ones((L, D), jnp.float32),
+            "wqkv": init(keys[2], (L, D, 3 * D)),
+            "wo": init(keys[3], (L, D, D)),
+            "norm2": jnp.ones((L, D), jnp.float32),
+            "w1": init(keys[4], (L, D, F)),
+            "w2": init(keys[5], (L, F, D)),
+        },
+        "final_norm": jnp.ones((D,), jnp.float32),
+    }
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """[B, H, W, C] -> [B, N, patch*patch*C]."""
+    B, H, W, C = images.shape
+    images = images.reshape(B, H // patch, patch, W // patch, patch, C)
+    return images.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, (H // patch) * (W // patch), patch * patch * C
+    )
+
+
+def vit_encode(params: Dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
+    """[B, H, W, C] (uint8 or float) -> [B, N, D] patch features."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0 - 0.5
+    x = patchify(images.astype(jnp.float32), cfg.patch_size)
+    x = x @ params["patch_proj"]["w"] + params["patch_proj"]["b"]
+    x = x + params["pos_embed"]
+    B, N, D = x.shape
+    Hd = D // cfg.heads
+    # bidirectional attention: equal positions disable the causal mask
+    pos = jnp.zeros((B, N), jnp.int32)
+
+    def block(x, layer):
+        h = rms_norm(x, layer["norm1"])
+        qkv = h @ layer["wqkv"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, cfg.heads, Hd)
+        k = k.reshape(B, N, cfg.heads, Hd)
+        v = v.reshape(B, N, cfg.heads, Hd)
+        attn = causal_attention(q, k, v, positions_q=pos, positions_kv=pos)
+        x = x + attn.reshape(B, N, D) @ layer["wo"]
+        h = rms_norm(x, layer["norm2"])
+        x = x + jax.nn.gelu(h @ layer["w1"]) @ layer["w2"]
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["blocks"])
+    return rms_norm(x, params["final_norm"])
