@@ -184,3 +184,57 @@ def compute_raw_advantages(
         adv = safe_normalize(adv, loss_mask)
         adv = adv * loss_mask.astype(jnp.float32)
     return adv, None
+
+
+@register_advantage("grpo_dynamic")
+def compute_grpo_dynamic_advantages(
+    rewards: jax.Array,
+    loss_mask: jax.Array,
+    group_size: int,
+    idx_to_traj,
+    advantage_mode: str = "turn",
+    **kwargs,
+) -> Tuple[jax.Array, None]:
+    """Multi-turn/multi-agent GRPO (reference advantages.py:125-260):
+    per-QUESTION normalization where each question owns ``group_size``
+    trajectories and each trajectory spans one or more turns.
+
+    rewards: [num_turns] (or [num_turns, 1]); loss_mask: [L, num_turns];
+    idx_to_traj: turn index -> global trajectory index (python list — static
+    under jit, matching the reference's host-side preprocessing).
+    """
+    import numpy as np
+
+    rewards = rewards.astype(jnp.float32).reshape(-1)
+    idx_to_traj = np.asarray(idx_to_traj, np.int32)
+    num_turns = len(idx_to_traj)
+    num_traj = int(idx_to_traj.max()) + 1
+    assert num_traj % group_size == 0
+    num_questions = num_traj // group_size
+    turn_onehot = jax.nn.one_hot(
+        jnp.asarray(idx_to_traj), num_traj, dtype=jnp.float32
+    )  # [turns, traj]
+
+    if advantage_mode == "trajectory":
+        counts = jnp.maximum(jnp.sum(turn_onehot, axis=0), 1.0)
+        traj_rewards = (rewards @ turn_onehot) / counts       # [traj]
+        grouped = traj_rewards.reshape(num_questions, group_size)
+        mean = jnp.mean(grouped, axis=-1, keepdims=True)
+        var = jnp.sum(jnp.square(grouped - mean), axis=-1, keepdims=True) / \
+            jnp.maximum(group_size - 1, 1)
+        normalized = ((grouped - mean) / (jnp.sqrt(var) + 1e-6)).reshape(-1)
+        turn_adv = turn_onehot @ normalized                   # broadcast back
+    elif advantage_mode == "turn":
+        turn_to_q = jnp.asarray(idx_to_traj // group_size)
+        q_onehot = jax.nn.one_hot(turn_to_q, num_questions, dtype=jnp.float32)
+        n_q = jnp.maximum(jnp.sum(q_onehot, axis=0), 1.0)     # turns/question
+        mean_q = (rewards @ q_onehot) / n_q
+        centered = rewards - q_onehot @ mean_q
+        var_q = (jnp.square(centered) @ q_onehot) / jnp.maximum(n_q - 1.0, 1.0)
+        std_q = jnp.sqrt(var_q)
+        turn_adv = centered / (q_onehot @ std_q + 1e-6)
+    else:
+        raise ValueError(f"invalid advantage_mode {advantage_mode!r}")
+
+    adv = turn_adv[None, :] * loss_mask.astype(jnp.float32)
+    return adv, None

@@ -54,3 +54,17 @@ def batch_em_rewards(texts: List[str], answers: Sequence[str]) -> List[float]:
 
 def batch_f1_rewards(texts: List[str], answers: Sequence[str]) -> List[float]:
     return [f1_score(extract_final_answer(t), a) for t, a in zip(texts, answers)]
+
+
+def vqa_reward(prediction: str, ground_truths: Sequence[str]) -> float:
+    """VQA-style soft accuracy (reference rewards/VQA, 235 LoC): min(1,
+    #matching-annotator-answers / 3), with SQuAD-style normalization."""
+    pred = normalize_qa_answer(extract_final_answer(prediction))
+    matches = sum(pred == normalize_qa_answer(g) for g in ground_truths)
+    return min(1.0, matches / 3.0)
+
+
+def batch_vqa_rewards(
+    texts: List[str], ground_truth_lists: Sequence[Sequence[str]]
+) -> List[float]:
+    return [vqa_reward(t, g) for t, g in zip(texts, ground_truth_lists)]
