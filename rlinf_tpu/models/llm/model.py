@@ -332,3 +332,49 @@ def decode_step(
     x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x[:, 0, :], KVCache(k=new_k, v=new_v)
+
+
+def decode_step_ragged(
+    params: Params,
+    cfg: LLMConfig,
+    token_ids: jax.Array,      # [B] current input token per slot
+    cache: KVCache,
+    write_pos: jax.Array,      # [B] PER-SLOT cache write index
+    positions: jax.Array,      # [B] rope position of this token
+    kv_valid: jax.Array,       # [B, S_max] bool incl. this token's slot
+) -> Tuple[jax.Array, KVCache]:
+    """Decode step where every batch row writes its kv at its OWN cache index
+    (continuous batching: slots hold sequences of different lengths).
+    Row-wise scatter via ``.at[arange(B), write_pos]``."""
+    B = token_ids.shape[0]
+    Hd = cfg.head_dim_
+    cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    x = params["embed"][token_ids][:, None, :].astype(cfg.compute_dtype)
+    pos = positions[:, None]
+    rows = jnp.arange(B)
+
+    def scan_fn(x, inputs):
+        layer, k_cache_l, v_cache_l = inputs
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = h @ layer["wq"]
+        k = h @ layer["wk"]
+        v = h @ layer["wv"]
+        if cfg.qkv_bias:
+            q = q + layer["bq"]
+            k = k + layer["bk"]
+            v = v + layer["bv"]
+        q = q.reshape(B, 1, cfg.num_heads, Hd)
+        k = k.reshape(B, 1, cfg.num_kv_heads, Hd)
+        v = v.reshape(B, 1, cfg.num_kv_heads, Hd)
+        q, k = apply_rope(q, k, cos, sin, pos)
+
+        k_cache_l = k_cache_l.at[rows, write_pos].set(k[:, 0])
+        v_cache_l = v_cache_l.at[rows, write_pos].set(v[:, 0])
+        attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
+        x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
+        x, _ = _mlp_or_moe(cfg, x, layer)
+        return x, (k_cache_l, v_cache_l)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x[:, 0, :], KVCache(k=new_k, v=new_v)
