@@ -257,16 +257,13 @@ class ReasoningRunner:
         return metrics
 
     def run_step(self) -> Dict[str, float]:
+        with self.timers.scope("rollout"):
+            result = self._rollout_phase(self.state.params)
+        return self._train_on_result(result)
+
+    def _train_on_result(self, result) -> Dict[str, float]:
         cfg = self.cfg
         step_start = time.perf_counter()
-
-        # 1. data + rollout -------------------------------------------------
-        examples = self.iterator.next_batch()
-        request = self._make_request(examples)
-        with self.timers.scope("rollout"):
-            result = self.engine.rollout(
-                self.state.params, request, self._next_rng(), mesh=self.mesh
-            )
 
         # 2. rewards --------------------------------------------------------
         with self.timers.scope("reward"):
@@ -364,6 +361,37 @@ class ReasoningRunner:
                 extra={"dataloader": self.iterator.state_dict()},
             )
         return out
+
+    def _rollout_phase(self, params):
+        examples = self.iterator.next_batch()
+        request = self._make_request(examples)
+        return self.engine.rollout(params, request, self._next_rng(), mesh=self.mesh)
+
+    def run_pipelined(self, max_steps: Optional[int] = None) -> List[Dict[str, float]]:
+        """Overlap rollout of batch N+1 with training on batch N (reference
+        pipelined mode, megatron_worker.py:808 run_training_pipeline /
+        runner.is_pipeline). Behavior logprobs recorded at generation time
+        keep the PPO ratios correct under the one-step staleness."""
+        import concurrent.futures
+
+        n = max_steps or self.cfg.runner.max_steps
+        history: List[Dict[str, float]] = []
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        try:
+            params_copy = jax.tree_util.tree_map(jnp.copy, self.state.params)
+            future = pool.submit(self._rollout_phase, params_copy)
+            while self.global_step < n:
+                result = future.result()
+                if self.global_step + 1 < n:
+                    # next rollout uses a snapshot (train step donates state)
+                    params_copy = jax.tree_util.tree_map(
+                        jnp.copy, self.state.params
+                    )
+                    future = pool.submit(self._rollout_phase, params_copy)
+                history.append(self._train_on_result(result))
+        finally:
+            pool.shutdown(wait=False)
+        return history
 
     def run(self, max_steps: Optional[int] = None) -> List[Dict[str, float]]:
         n = max_steps or self.cfg.runner.max_steps

@@ -38,6 +38,10 @@ class EmbodiedLossConfig:
     huber_delta: float = 10.0
     entropy_bonus: float = 0.0
     value_coef: float = 1.0
+    #: weight of the optional SFT (behavior-cloning) mixing term computed on
+    #: demo batches passed alongside the RL batch (reference
+    #: fsdp_actor_worker.py:1416 SFT mixing)
+    sft_coef: float = 0.0
 
 
 def make_embodied_train_step(
@@ -80,6 +84,19 @@ def make_embodied_train_step(
             - loss_cfg.entropy_bonus * entropy
         )
         metrics = {**am, **cm, "actor/entropy": entropy}
+        if loss_cfg.sft_coef > 0 and any(
+            k.startswith("sft_obs/") for k in batch
+        ):
+            sft_obs = {
+                k[len("sft_obs/"):]: v for k, v in batch.items()
+                if k.startswith("sft_obs/")
+            }
+            sft_fwd = policy.default_forward(
+                params, sft_obs, batch["sft_actions"]
+            )
+            sft_nll = -jnp.mean(jnp.sum(sft_fwd["logprobs"], axis=-1))
+            loss = loss + loss_cfg.sft_coef * sft_nll
+            metrics["actor/sft_nll"] = jax.lax.stop_gradient(sft_nll)
         return loss, metrics
 
     def train_step(state: TrainState, batch):

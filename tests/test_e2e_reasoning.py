@@ -151,3 +151,16 @@ def test_ppo_with_critic_learns(toy_dataset):
     first5 = np.mean([h["rollout/reward_mean"] for h in history[:5]])
     last5 = np.mean([h["rollout/reward_mean"] for h in history[-5:]])
     assert last5 > first5 + 0.03, f"no learning: {first5:.4f} -> {last5:.4f}"
+
+
+def test_pipelined_mode_learns(toy_dataset):
+    """run_pipelined (rollout/training overlap) must also learn."""
+    cfg = _make_cfg()
+    runner = ReasoningRunner(
+        cfg, ByteTokenizer(), toy_dataset, reward_fn=_char_frequency_reward
+    )
+    history = runner.run_pipelined(max_steps=25)
+    assert len(history) == 25
+    first5 = np.mean([h["rollout/reward_mean"] for h in history[:5]])
+    last5 = np.mean([h["rollout/reward_mean"] for h in history[-5:]])
+    assert last5 > 3 * max(first5, 1e-3), f"pipelined no learning: {first5} -> {last5}"
