@@ -67,6 +67,8 @@ class EmbodiedRunner:
         optimizer: OptimizerConfig = OptimizerConfig(lr=3e-4, clip_grad=1.0),
         loss_cfg: EmbodiedLossConfig = EmbodiedLossConfig(),
         eval_envs: Optional[List[VectorEnv]] = None,
+        teacher: Optional[tuple] = None,   # (teacher_policy, teacher_params)
+        opd_coef: float = 0.0,             # >0 adds OPD distillation term
     ):
         self.cfg = cfg
         self.policy = policy
@@ -75,6 +77,15 @@ class EmbodiedRunner:
         self.timers = Timers()
         self.logger = MetricLogger(cfg.log_dir)
 
+        self.teacher = teacher
+        self.opd_coef = opd_coef
+        if teacher is not None:
+            t_policy, t_params = teacher
+            self._teacher_logprob = jax.jit(
+                lambda obs, actions: t_policy.default_forward(
+                    t_params, obs, actions
+                )["logprobs"]
+            )
         self.tx = make_optimizer(optimizer)
         rng = jax.random.PRNGKey(cfg.seed)
         self._rng, init_rng = jax.random.split(rng)
@@ -126,6 +137,21 @@ class EmbodiedRunner:
         flat["prev_values"] = flat.pop("values")
         flat["old_logprobs"] = flat.pop("logprobs")
         batch = {k: jnp.asarray(v) for k, v in flat.items() if k != "rewards"}
+
+        # 2b. OPD: teacher logprobs on the rollout actions -> reverse-KL
+        # dense reward mixed into the advantages (reference OPD path,
+        # advantages.py:325 + fsdp_actor_worker.py:1332 teacher logprobs)
+        if self.teacher is not None and self.opd_coef > 0:
+            obs_flat = {
+                k[len("obs/"):]: batch[k] for k in batch if k.startswith("obs/")
+            }
+            t_lp = self._teacher_logprob(obs_flat, batch["actions"])
+            opd_reward = jnp.sum(
+                t_lp - batch["old_logprobs"], axis=-1
+            )  # [N] reverse-KL reward
+            batch["advantages"] = (
+                batch["advantages"] + self.opd_coef * opd_reward
+            )
 
         # 3. PPO epochs ----------------------------------------------------
         metrics = {}

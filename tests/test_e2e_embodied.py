@@ -132,3 +132,65 @@ def test_eval_deterministic(tmp_path):
     )
     out = runner.run_step()
     assert any(k.startswith("eval/") for k in out)
+
+
+def test_opd_distillation_pulls_student_to_teacher():
+    """OPD: with a trained 'teacher' and zero env reward, the reverse-KL
+    advantage must pull the student's actions toward the teacher's."""
+    import jax
+    import jax.numpy as jnp
+
+    class ZeroRewardBandit(BanditEnv):
+        def step(self, actions):
+            out = super().step(actions)
+            out.reward[:] = 0.0
+            return out
+
+    from rlinf_tpu.models.embodiment.mlp_policy import (
+        gaussian_entropy, gaussian_logprob,
+    )
+
+    class AnalyticTeacher:
+        """Deterministic teacher: mean = 0.7 * obs, fixed logstd."""
+
+        def default_forward(self, params, obs, actions):
+            mean = 0.7 * obs["states"].astype(jnp.float32)
+            logstd = jnp.full_like(mean, -1.0)
+            return {
+                "logprobs": gaussian_logprob(mean, logstd, actions),
+                "entropy": gaussian_entropy(logstd),
+            }
+
+        def predict_action_batch(self, params, rng, obs, *, deterministic=False):
+            from rlinf_tpu.models.embodiment.base_policy import PolicyOutput
+
+            mean = 0.7 * obs["states"].astype(jnp.float32)
+            return PolicyOutput(actions=mean, logprobs=jnp.zeros_like(mean),
+                                values=None)
+
+    teacher = AnalyticTeacher()
+    t_params = {}
+
+    student = MLPGaussianPolicy(obs_dim=2, action_dim=2, init_logstd=-0.5)
+    cfg = EmbodiedRunnerConfig(
+        num_chunk_steps=8, num_epochs=2, num_mini_batches=2,
+        gamma=0.0, normalize_advantages=False, max_steps=40, seed=1,
+    )
+    runner = EmbodiedRunner(
+        cfg, [ZeroRewardBandit(num_envs=64, seed=0)], student,
+        optimizer=OptimizerConfig(lr=3e-3, clip_grad=1.0),
+        teacher=(teacher, t_params), opd_coef=1.0,
+    )
+
+    obs = {"states": jnp.asarray(np.random.default_rng(3).normal(size=(64, 2)), jnp.float32)}
+    def gap():
+        t_act = teacher.predict_action_batch(
+            t_params, jax.random.PRNGKey(0), obs, deterministic=True).actions
+        s_act = student.predict_action_batch(
+            runner.state.params, jax.random.PRNGKey(0), obs, deterministic=True).actions
+        return float(np.mean(np.abs(np.asarray(t_act) - np.asarray(s_act))))
+
+    before = gap()
+    runner.run(max_steps=30)
+    after = gap()
+    assert after < before * 0.7, f"OPD did not distill: {before:.3f} -> {after:.3f}"
