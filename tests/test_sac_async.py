@@ -94,3 +94,28 @@ def test_async_sac_learns_bandit():
     )
     reward = -np.sum((a - obs["states"]) ** 2, axis=-1).mean()
     assert reward > -0.1, f"SAC failed to learn bandit: {reward:.4f}"
+
+
+def test_async_ppo_learns_point_reach():
+    """Async decoupled PPO: continuous rollout + version-lag-corrected
+    updates must raise success_once."""
+    from rlinf_tpu.envs.toy import PointReachEnv
+    from rlinf_tpu.models.embodiment import MLPGaussianPolicy
+    from rlinf_tpu.runners.async_ppo_runner import AsyncPPOConfig, AsyncPPORunner
+
+    policy = MLPGaussianPolicy(obs_dim=4, action_dim=2, init_logstd=-0.5)
+    runner = AsyncPPORunner(
+        AsyncPPOConfig(
+            total_train_steps=40, rollout_chunk_steps=16,
+            num_epochs=2, num_mini_batches=4, gamma=0.9,
+            weight_sync_interval=1, seed=0, log_interval=20,
+        ),
+        envs=[PointReachEnv(num_envs=64, seed=0, max_episode_steps=16)],
+        policy=policy,
+        optimizer=OptimizerConfig(lr=3e-3, clip_grad=1.0),
+    )
+    hist = runner.run(max_steps=40)
+    early = np.mean([h.get("env/success_once", 0.0) for h in hist[:5]])
+    late = np.mean([h.get("env/success_once", 0.0) for h in hist[-5:]])
+    assert late > max(2 * early, 0.3), f"async PPO: {early:.3f} -> {late:.3f}"
+    assert all(h["async/version_lag"] >= 1.0 for h in hist[1:])
