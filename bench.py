@@ -69,7 +69,7 @@ def main():
     if on_tpu:
         cfg = LLMConfig.qwen2_0_5b()
         B_train, T_train = 8, 1024
-        B_gen, P_gen, N_gen = 32, 256, 256
+        B_gen, P_gen, N_gen = 64, 256, 256
         n_iters = 5
     else:  # CPU smoke mode for development
         cfg = LLMConfig.tiny()
