@@ -378,3 +378,66 @@ def decode_step_ragged(
     x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x[:, 0, :], KVCache(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# Layered decode path (in-place cache)
+# ---------------------------------------------------------------------------
+#
+# ``decode_step`` scans over layers with cache.k/v as scan xs/ys, which
+# forces XLA to materialize fresh cache arrays every step (~2x cache traffic
+# at decode time). The layered path keeps the cache as a TUPLE of per-layer
+# arrays carried through the token loop: updates are row-wise scatters on
+# loop-carried buffers, which XLA performs in place. The layer loop is
+# unrolled (L static slices of the stacked params are loop-invariant and
+# hoisted), trading compile time for the memory-bound win.
+
+def layered_cache_from_stacked(cache: KVCache):
+    """KVCache [L,B,S,K,D] -> tuple of (k_i, v_i) per layer."""
+    L = cache.k.shape[0]
+    return tuple((cache.k[i], cache.v[i]) for i in range(L))
+
+
+def decode_step_layered(
+    params: Params,
+    cfg: LLMConfig,
+    token_ids: jax.Array,      # [B]
+    kv_layers,                 # tuple of (k [B,S,K,D], v [B,S,K,D])
+    write_pos: jax.Array,      # [B] per-row cache write index
+    positions: jax.Array,      # [B] rope position
+    kv_valid: jax.Array,       # [B, S_max]
+):
+    """One decode step with in-place per-layer cache buffers.
+    Returns ([B, D] hidden, new kv_layers tuple)."""
+    B = token_ids.shape[0]
+    Hd = cfg.head_dim_
+    cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    x = params["embed"][token_ids][:, None, :].astype(cfg.compute_dtype)
+    pos = positions[:, None]
+    rows = jnp.arange(B)
+
+    new_layers = []
+    for i, (k_cache_l, v_cache_l) in enumerate(kv_layers):
+        layer = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q = h @ layer["wq"]
+        k = h @ layer["wk"]
+        v = h @ layer["wv"]
+        if cfg.qkv_bias:
+            q = q + layer["bq"]
+            k = k + layer["bk"]
+            v = v + layer["bv"]
+        q = q.reshape(B, 1, cfg.num_heads, Hd)
+        k = k.reshape(B, 1, cfg.num_kv_heads, Hd)
+        v = v.reshape(B, 1, cfg.num_kv_heads, Hd)
+        q, k = apply_rope(q, k, cos, sin, pos)
+
+        k_cache_l = k_cache_l.at[rows, write_pos].set(k[:, 0])
+        v_cache_l = v_cache_l.at[rows, write_pos].set(v[:, 0])
+        attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
+        x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
+        x, _ = _mlp_or_moe(cfg, x, layer)
+        new_layers.append((k_cache_l, v_cache_l))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x[:, 0, :], tuple(new_layers)

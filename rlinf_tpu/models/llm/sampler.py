@@ -111,6 +111,10 @@ def generate(
     last_hidden, cache = M.prefill(
         params, cfg, prompt_ids, prompt_mask, S_max, attn_impl=attn_impl
     )
+    # Per-layer cache buffers carried through the decode loop: XLA keeps the
+    # row-scatter updates in place (the stacked scan-xs form re-materializes
+    # the whole cache every step — ~2x decode HBM traffic).
+    kv_layers = M.layered_cache_from_stacked(cache)
     kv_valid = jnp.pad(prompt_mask, ((0, 0), (0, N)))  # [B, S_max]
 
     logits0 = (last_hidden @ w_lm).astype(jnp.float32)
@@ -118,14 +122,15 @@ def generate(
     tok0, lp0 = sample_from_logits(sub, logits0, sp)
 
     def step_fn(carry, t):
-        rng, prev_tok, cache, kv_valid, done = carry
+        rng, prev_tok, kv_layers, kv_valid, done = carry
         slot = P + t  # cache slot for prev_tok's kv (t starts at 0)
         pos = prompt_lens + t  # rope position of prev_tok
         kv_valid = jax.lax.dynamic_update_slice(
             kv_valid, jnp.ones((B, 1), bool), (0, slot)
         )
-        hidden, cache = M.decode_step(
-            params, cfg, prev_tok, cache, slot, pos, kv_valid
+        hidden, kv_layers = M.decode_step_layered(
+            params, cfg, prev_tok, kv_layers,
+            jnp.full((B,), slot, jnp.int32), pos, kv_valid,
         )
         logits = (hidden @ w_lm).astype(jnp.float32)
         rng, sub = jax.random.split(rng)
@@ -135,9 +140,9 @@ def generate(
         done = done | (prev_tok == sp.eos_token_id)
         tok = jnp.where(done, sp.pad_token_id, tok)
         lp = jnp.where(done, 0.0, lp)
-        return (rng, tok, cache, kv_valid, done), (tok, lp, ~done)
+        return (rng, tok, kv_layers, kv_valid, done), (tok, lp, ~done)
 
-    carry = (rng, tok0, cache, kv_valid, jnp.zeros((B,), bool))
+    carry = (rng, tok0, kv_layers, kv_valid, jnp.zeros((B,), bool))
     if N > 1:
         carry, (toks, lps, valids) = jax.lax.scan(
             step_fn, carry, jnp.arange(N - 1)
