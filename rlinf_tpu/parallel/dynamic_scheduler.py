@@ -1,0 +1,214 @@
+"""Dynamic scheduler: online chip migration between rollout and training.
+
+Reference analog: rlinf/scheduler/dynamic_scheduler/ (SchedulerWorker
+scheduler_worker.py:30 + RolloutManager/ActorManager manager.py:191,793) —
+AUTO placement mode watches per-step timings and migrates GPUs between the
+rollout engine and the Megatron actor mid-run ("GPU switching performed
+within 1 second", online TP/PP/DP rescale; doc guides/dynamic_scheduling.rst).
+
+TPU design: placement is DATA, not processes. A phase's "owned chips" is a
+submesh; migrating chips = re-sharding the param/optimizer pytrees onto a new
+submesh (one resharding ``device_put`` — XLA moves only the shards that
+change owners) and re-jitting the phase functions on the new mesh (the
+Megatron online-rescale analog; jit cache keyed by mesh, so flipping BACK to
+a previously used split is instant). The controller re-solves the placement
+from observed timings (utils/auto_placement.solve_placement) with hysteresis
+so noise can't flap the mesh split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from rlinf_tpu.parallel.sharding import match_partition_rules, tree_shardings
+from rlinf_tpu.utils.auto_placement import (
+    PhaseCost,
+    PlacementPlan,
+    phase_costs_from_metrics,
+    solve_placement,
+)
+
+
+@dataclasses.dataclass
+class Migration:
+    """A decided chip migration (the RolloutAction/ActorAction analog)."""
+
+    step: int
+    plan: PlacementPlan
+    prev_rollout_chips: int
+    prev_train_chips: int
+
+    @property
+    def delta(self) -> int:
+        return self.plan.rollout_chips - self.prev_rollout_chips
+
+
+class DynamicScheduler:
+    """Observes per-step phase timings; every ``interval`` steps re-solves the
+    rollout/train chip split and emits a Migration when the projected step
+    time improves by more than ``hysteresis`` (relative).
+
+    The runner applies a Migration by calling ``migrate_sharded_state`` for
+    each state pytree and rebuilding its jitted phase fns on the new meshes.
+    """
+
+    def __init__(
+        self,
+        total_devices: int,
+        *,
+        interval: int = 5,
+        hysteresis: float = 0.15,
+        warmup_steps: int = 2,
+        sync_collocated_s: float = 0.0,
+        sync_disaggregated_s: float = 0.01,
+        rollout_alpha: float = 1.0,
+        train_alpha: float = 1.0,
+        rollout_key: str = "time/rollout",
+        train_key: str = "time/training",
+        sync_key: str = "time/weight_sync",
+    ):
+        # With perfectly linear phase scaling and zero switch cost,
+        # collocated time-slicing is always optimal — disaggregation wins
+        # exactly when collocation pays a per-step switch cost
+        # (sync_collocated_s: weight sync into the rollout engine, cache
+        # realloc — the cost the reference's AUTO mode removes) and/or a
+        # phase scales sublinearly (alpha < 1, e.g. latency-bound decode).
+        self.total_devices = total_devices
+        self.interval = interval
+        self.hysteresis = hysteresis
+        self.warmup_steps = warmup_steps
+        self.sync_collocated_s = sync_collocated_s
+        self.sync_disaggregated_s = sync_disaggregated_s
+        self.rollout_alpha = rollout_alpha
+        self.train_alpha = train_alpha
+        self.rollout_key = rollout_key
+        self.train_key = train_key
+        self.sync_key = sync_key
+        self.history: List[Dict[str, float]] = []
+        self.current: Optional[PlacementPlan] = None
+        self.migrations: List[Migration] = []
+        self._step = 0
+
+    def observe(self, metrics: Dict[str, float]) -> Optional[Migration]:
+        """Feed one step's timing metrics; returns a Migration when the
+        scheduler decides to move chips (the per-step scheduling loop of
+        scheduler_worker.py)."""
+        self._step += 1
+        if self.rollout_key in metrics and self.train_key in metrics:
+            self.history.append(dict(metrics))
+        if (self._step <= self.warmup_steps
+                or self._step % self.interval != 0
+                or len(self.history) < self.warmup_steps + 1):
+            return None
+        return self._replan()
+
+    def _current_chips(self) -> Dict[str, int]:
+        if self.current is None:
+            return {"rollout": self.total_devices,
+                    "train": self.total_devices}
+        return {"rollout": self.current.rollout_chips,
+                "train": self.current.train_chips}
+
+    def _replan(self) -> Optional[Migration]:
+        chips = self._current_chips()
+        # Profile phase costs at their CURRENT chip counts, window = last
+        # interval steps (post-migration timings only).
+        window = self.history[-self.interval:]
+        import numpy as np
+
+        rollout = PhaseCost(
+            "rollout",
+            float(np.median([r[self.rollout_key] for r in window])),
+            chips["rollout"], scaling_alpha=self.rollout_alpha)
+        train = PhaseCost(
+            "train",
+            float(np.median([r[self.train_key] for r in window])),
+            chips["train"], scaling_alpha=self.train_alpha)
+        # Measured collocated switch cost, if the runner reports one.
+        sync_obs = [r[self.sync_key] for r in window if self.sync_key in r]
+        sync_colloc = (float(np.median(sync_obs)) if sync_obs
+                       else self.sync_collocated_s)
+        plan = solve_placement(
+            self.total_devices, rollout, train,
+            sync_collocated_s=sync_colloc,
+            sync_disaggregated_s=self.sync_disaggregated_s)
+
+        if self.current is None:
+            # First plan: adopt only if it beats the observed collocated time.
+            observed = rollout.seconds + train.seconds + sync_colloc
+            if plan.step_seconds < observed * (1.0 - self.hysteresis):
+                mig = Migration(self._step, plan, self.total_devices,
+                                self.total_devices)
+                self.current = plan
+                self.migrations.append(mig)
+                return mig
+            return None
+
+        same_split = (plan.mode == self.current.mode
+                      and plan.rollout_chips == self.current.rollout_chips)
+        improved = plan.step_seconds < (
+            self.current.step_seconds * (1.0 - self.hysteresis))
+        if same_split or not improved:
+            # refresh projected time for the standing plan
+            self.current = dataclasses.replace(
+                self.current,
+                step_seconds=(
+                    max(rollout.seconds, train.seconds)
+                    + self.sync_disaggregated_s
+                    if self.current.mode == "disaggregated"
+                    else rollout.seconds + train.seconds + sync_colloc))
+            return None
+        mig = Migration(self._step, plan, self.current.rollout_chips,
+                        self.current.train_chips)
+        self.current = plan
+        self.migrations.append(mig)
+        return mig
+
+
+# ---------------------------------------------------------------------------
+# State migration (the "GPU switching" — a resharding device_put)
+# ---------------------------------------------------------------------------
+
+
+def submesh(devices, start: int, count: int, axis_names=("data", "model"),
+            model_parallel: int = 1) -> Mesh:
+    """A (count/model_parallel, model_parallel) mesh over a device range."""
+    import numpy as np
+
+    sel = np.array(devices[start:start + count]).reshape(
+        count // model_parallel, model_parallel)
+    return Mesh(sel, axis_names)
+
+
+def migrate_sharded_state(state, new_mesh: Mesh, rules) -> object:
+    """Re-shard a pytree onto a new (sub)mesh under the same partition rules.
+
+    This is the whole migration: XLA's resharding transfer moves only the
+    shard bytes whose owner changed (ICI-local), the analog of the
+    reference's drain + online parallel-strategy switch
+    (dynamic_scheduler/manager.py RolloutManager.migrate / ActorManager
+    apply_parallel_strategy)."""
+    specs = match_partition_rules(rules, state)
+    shardings = tree_shardings(state, specs, new_mesh)
+    return jax.device_put(state, shardings)
+
+
+def make_migratable_phase(
+    build_fn: Callable[[Mesh], Callable],
+) -> Callable[[Mesh], Callable]:
+    """Memoize phase-fn builds per mesh so flipping back to a previous split
+    reuses the compiled executable (re-jit happens once per distinct split)."""
+    cache: Dict[int, Callable] = {}
+
+    def get(mesh: Mesh) -> Callable:
+        key = hash((tuple(d.id for d in mesh.devices.flat), mesh.axis_names))
+        if key not in cache:
+            cache[key] = build_fn(mesh)
+        return cache[key]
+
+    return get
