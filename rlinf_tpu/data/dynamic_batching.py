@@ -24,7 +24,9 @@ def best_fit_decreasing(
 
     Rows longer than max_tokens get singleton bins (they must still run).
     """
-    order = np.argsort(lengths)[::-1]
+    # stable sort so tie order is deterministic (and matches the native
+    # implementation in rlinf_tpu/native/src/batching.cc bit-for-bit)
+    order = np.argsort(lengths, kind="stable")[::-1]
     bins: List[Tuple[int, List[int]]] = []  # (used_tokens, indices)
     for i in order:
         L = int(lengths[i])
@@ -66,7 +68,13 @@ def pack_microbatches(
     loss/grad under global-count normalization).
     """
     B, T = batch[length_key].shape
-    bins = best_fit_decreasing(lengths, max_tokens)
+    try:  # native C++ partitioner (identical output); lazy to avoid cycle
+        from rlinf_tpu.native import bfd_partition, native_available
+
+        bins = (bfd_partition(lengths, max_tokens) if native_available()
+                else best_fit_decreasing(lengths, max_tokens))
+    except ImportError:
+        bins = best_fit_decreasing(lengths, max_tokens)
     out = []
     for idx in bins:
         idx_arr = np.asarray(sorted(idx))
