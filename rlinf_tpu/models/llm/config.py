@@ -27,6 +27,7 @@ class LLMConfig:
     max_seq_len: int = 4096
     tie_word_embeddings: bool = True
     qkv_bias: bool = True  # Qwen2 uses qkv biases
+    qk_norm: bool = False  # Qwen3: per-head RMSNorm on q/k before RoPE
     dtype: str = "bfloat16"  # activation/weight compute dtype
     # MoE (0 experts => dense MLP). Mirrors Qwen3-MoE-style geometry
     # (reference e2e MoE configs, tests/e2e_tests/reasoning/qwen3-moe-*).
@@ -104,6 +105,37 @@ class LLMConfig:
         )
 
     @staticmethod
+    def qwen3_0_6b() -> "LLMConfig":
+        """Qwen3-0.6B geometry (qk-norm, no qkv bias, head_dim 128)."""
+        return LLMConfig(
+            vocab_size=151936, hidden_size=1024, intermediate_size=3072,
+            num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6, tie_word_embeddings=True,
+            qkv_bias=False, qk_norm=True,
+        )
+
+    @staticmethod
+    def qwen3_1_7b() -> "LLMConfig":
+        return LLMConfig(
+            vocab_size=151936, hidden_size=2048, intermediate_size=6144,
+            num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6, tie_word_embeddings=True,
+            qkv_bias=False, qk_norm=True,
+        )
+
+    @staticmethod
+    def qwen3_moe_30b_a3b() -> "LLMConfig":
+        """Qwen3-30B-A3B geometry (the reference's MoE GRPO benchmark model,
+        SURVEY.md §6; 128 experts, top-8, expert ffn 768)."""
+        return LLMConfig(
+            vocab_size=151936, hidden_size=2048, intermediate_size=768,
+            num_layers=48, num_heads=32, num_kv_heads=4, head_dim=128,
+            rope_theta=1e6, tie_word_embeddings=False,
+            qkv_bias=False, qk_norm=True,
+            num_experts=128, num_experts_per_token=8,
+        )
+
+    @staticmethod
     def tiny(vocab_size: int = 256, max_seq_len: int = 128) -> "LLMConfig":
         """Tiny config for unit tests / CPU meshes."""
         return LLMConfig(
@@ -128,4 +160,5 @@ class LLMConfig:
             max_seq_len=getattr(hf_cfg, "max_position_embeddings", 4096),
             tie_word_embeddings=getattr(hf_cfg, "tie_word_embeddings", False),
             qkv_bias=("qwen2" in getattr(hf_cfg, "model_type", "")),
+            qk_norm=("qwen3" in getattr(hf_cfg, "model_type", "")),
         )

@@ -60,6 +60,9 @@ def params_from_hf_state_dict(
         blocks["bq"] = stack(lambda i: vec("self_attn.q_proj.bias", i))
         blocks["bk"] = stack(lambda i: vec("self_attn.k_proj.bias", i))
         blocks["bv"] = stack(lambda i: vec("self_attn.v_proj.bias", i))
+    if cfg.qk_norm:   # Qwen3 per-head q/k RMSNorm
+        blocks["q_norm"] = stack(lambda i: vec("self_attn.q_norm.weight", i))
+        blocks["k_norm"] = stack(lambda i: vec("self_attn.k_norm.weight", i))
 
     params = {
         "embed": jnp.asarray(_to_np(sd["embed_tokens.weight"]), dtype=dt),
@@ -124,6 +127,9 @@ def params_to_hf_state_dict(params, cfg: LLMConfig) -> Dict[str, "np.ndarray"]:
             put(p + "self_attn.q_proj.bias", blocks["bq"][i])
             put(p + "self_attn.k_proj.bias", blocks["bk"][i])
             put(p + "self_attn.v_proj.bias", blocks["bv"][i])
+        if cfg.qk_norm:
+            put(p + "self_attn.q_norm.weight", blocks["q_norm"][i])
+            put(p + "self_attn.k_norm.weight", blocks["k_norm"][i])
     if cfg.tie_word_embeddings:
         # HF state dicts materialize the tied head; mirror that.
         out["lm_head.weight"] = out["model.embed_tokens.weight"]

@@ -66,6 +66,7 @@ def partition_rules():
         (r"blocks/moe_down", P(None, Ax.EXPERT, t, f)),
         (r"blocks/attn_norm", P(None, None)),
         (r"blocks/mlp_norm", P(None, None)),
+        (r"blocks/(q|k)_norm", P(None, None)),
         (r"final_norm", P()),
         (r"lm_head", P(f, t)),               # [D, V] vocab-sharded output
     ]
@@ -109,6 +110,10 @@ def init_params(cfg: LLMConfig, rng: jax.Array) -> Params:
         params["blocks"]["bq"] = jnp.zeros((l, qd), dt)
         params["blocks"]["bk"] = jnp.zeros((l, kvd), dt)
         params["blocks"]["bv"] = jnp.zeros((l, kvd), dt)
+    if cfg.qk_norm:
+        # Qwen3-style per-head RMSNorm on q/k before RoPE
+        params["blocks"]["q_norm"] = jnp.ones((l, cfg.head_dim_), dt)
+        params["blocks"]["k_norm"] = jnp.ones((l, cfg.head_dim_), dt)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = norm_init(keys[8], (d, cfg.vocab_size))
     return params
@@ -117,6 +122,26 @@ def init_params(cfg: LLMConfig, rng: jax.Array) -> Params:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+def _project_qkv(cfg: LLMConfig, layer: Params, h: jax.Array, B: int, S: int):
+    """qkv projection + bias + head reshape + optional Qwen3 qk-norm.
+    h: [B, S, D] → q [B,S,H,Hd], k/v [B,S,K,Hd] (pre-RoPE)."""
+    Hd = cfg.head_dim_
+    q = h @ layer["wq"]
+    k = h @ layer["wk"]
+    v = h @ layer["wv"]
+    if cfg.qkv_bias:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    q = q.reshape(B, S, cfg.num_heads, Hd)
+    k = k.reshape(B, S, cfg.num_kv_heads, Hd)
+    v = v.reshape(B, S, cfg.num_kv_heads, Hd)
+    if cfg.qk_norm:
+        q = rms_norm(q, layer["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_eps)
+    return q, k, v
+
 
 def _mlp_or_moe(cfg: LLMConfig, x, layer):
     """Dense SwiGLU MLP or MoE block, residual included. Returns (x, aux)."""
@@ -151,16 +176,7 @@ def _block(
     Hd = cfg.head_dim_
 
     h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-    q = h @ layer["wq"]
-    k = h @ layer["wk"]
-    v = h @ layer["wv"]
-    if cfg.qkv_bias:
-        q = q + layer["bq"]
-        k = k + layer["bk"]
-        v = v + layer["bv"]
-    q = q.reshape(B, S, cfg.num_heads, Hd)
-    k = k.reshape(B, S, cfg.num_kv_heads, Hd)
-    v = v.reshape(B, S, cfg.num_kv_heads, Hd)
+    q, k, v = _project_qkv(cfg, layer, h, B, S)
     q, k = apply_rope(q, k, cos, sin, positions)
 
     attn = causal_attention(
@@ -306,16 +322,7 @@ def decode_step(
     def scan_fn(x, inputs):
         layer, k_cache_l, v_cache_l = inputs
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-        q = h @ layer["wq"]
-        k = h @ layer["wk"]
-        v = h @ layer["wv"]
-        if cfg.qkv_bias:
-            q = q + layer["bq"]
-            k = k + layer["bk"]
-            v = v + layer["bv"]
-        q = q.reshape(B, 1, cfg.num_heads, Hd)
-        k = k.reshape(B, 1, cfg.num_kv_heads, Hd)
-        v = v.reshape(B, 1, cfg.num_kv_heads, Hd)
+        q, k, v = _project_qkv(cfg, layer, h, B, 1)
         q, k = apply_rope(q, k, cos, sin, pos)
 
         k_cache_l = jax.lax.dynamic_update_slice(
@@ -356,16 +363,7 @@ def decode_step_ragged(
     def scan_fn(x, inputs):
         layer, k_cache_l, v_cache_l = inputs
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-        q = h @ layer["wq"]
-        k = h @ layer["wk"]
-        v = h @ layer["wv"]
-        if cfg.qkv_bias:
-            q = q + layer["bq"]
-            k = k + layer["bk"]
-            v = v + layer["bv"]
-        q = q.reshape(B, 1, cfg.num_heads, Hd)
-        k = k.reshape(B, 1, cfg.num_kv_heads, Hd)
-        v = v.reshape(B, 1, cfg.num_kv_heads, Hd)
+        q, k, v = _project_qkv(cfg, layer, h, B, 1)
         q, k = apply_rope(q, k, cos, sin, pos)
 
         k_cache_l = k_cache_l.at[rows, write_pos].set(k[:, 0])
@@ -420,16 +418,7 @@ def decode_step_layered(
     for i, (k_cache_l, v_cache_l) in enumerate(kv_layers):
         layer = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
         h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
-        q = h @ layer["wq"]
-        k = h @ layer["wk"]
-        v = h @ layer["wv"]
-        if cfg.qkv_bias:
-            q = q + layer["bq"]
-            k = k + layer["bk"]
-            v = v + layer["bv"]
-        q = q.reshape(B, 1, cfg.num_heads, Hd)
-        k = k.reshape(B, 1, cfg.num_kv_heads, Hd)
-        v = v.reshape(B, 1, cfg.num_kv_heads, Hd)
+        q, k, v = _project_qkv(cfg, layer, h, B, 1)
         q, k = apply_rope(q, k, cos, sin, pos)
 
         k_cache_l = k_cache_l.at[rows, write_pos].set(k[:, 0])
