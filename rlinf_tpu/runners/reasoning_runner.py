@@ -140,6 +140,35 @@ class ReasoningRunner:
                     self.iterator.load_state_dict(extra["dataloader"])
 
     # ------------------------------------------------------------------
+    def rescale(self, new_mesh: jax.sharding.Mesh):
+        """Online parallel-strategy switch: re-shard the live train state onto
+        ``new_mesh`` and rebuild the mesh-bound phase fns (the TPU analog of
+        Megatron online rescale, reference megatron_worker.py:1046
+        apply_parallel_strategy / dynamic-scheduler GPU migration). Training
+        resumes on the next step; flipping back to a previously used mesh
+        reuses the jit cache."""
+        from rlinf_tpu.training.train_state import rescale_train_state
+
+        rules = M.partition_rules()
+        if self.with_critic:
+            from rlinf_tpu.models.llm.value_head import value_partition_rules
+
+            rules = value_partition_rules() + rules
+        self.state = rescale_train_state(self.state, new_mesh, rules)
+        # the rng key is committed to the old mesh's devices; replicate it
+        # onto the new mesh or the next split() sees mixed device sets
+        self._rng = jax.device_put(
+            self._rng,
+            jax.sharding.NamedSharding(new_mesh, jax.sharding.PartitionSpec()))
+        self.mesh = new_mesh
+        if not self.with_critic:
+            self.train_step = make_policy_train_step(
+                self.cfg.model, self.cfg.loss, self.tx,
+                num_microbatches=self.cfg.num_microbatches,
+                remat=self.cfg.remat, attn_impl=self.cfg.attn_impl,
+                mesh=new_mesh,
+            )
+
     def _next_rng(self) -> jax.Array:
         self._rng, sub = jax.random.split(self._rng)
         return sub

@@ -124,3 +124,25 @@ def _opt_state_specs(opt_shapes, param_shapes, param_specs):
         return P()
 
     return jax.tree_util.tree_map(spec_for, opt_shapes)
+
+
+def rescale_train_state(
+    state: TrainState, new_mesh: Mesh, partition_rules
+) -> TrainState:
+    """Re-shard a live TrainState (params + optimizer) onto a new mesh under
+    the same rule table — the online parallel-strategy switch
+    (reference MegatronWorker.apply_parallel_strategy megatron_worker.py:1046
+    / dynamic-scheduler ActorManager rescale). One resharding device_put per
+    pytree; XLA moves only shards whose owner changes."""
+    from rlinf_tpu.parallel.sharding import match_partition_rules, tree_shardings
+
+    specs = match_partition_rules(partition_rules, state.params)
+    shardings = tree_shardings(state.params, specs, new_mesh)
+    params = jax.device_put(state.params, shardings)
+    opt_specs = _opt_state_specs(state.opt_state, state.params, specs)
+    opt_shardings = tree_shardings(state.opt_state, opt_specs, new_mesh)
+    opt_state = jax.device_put(state.opt_state, opt_shardings)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    step = jax.device_put(state.step, NamedSharding(new_mesh, PartitionSpec()))
+    return TrainState(step, params, opt_state)
