@@ -45,6 +45,10 @@ class AgentRollout:
     num_tool_calls: int = 0
     final_text: str = ""
     prompt_len: int = 0
+    # [(start, end)] token span of each MODEL turn — feeds the per-turn
+    # grpo_dynamic advantages (reference MultiAgentLoopWorker per-turn
+    # outputs, agent_loop.py:432+; advantages.py:125 turn mode)
+    turn_spans: List[tuple] = dataclasses.field(default_factory=list)
 
 
 class AgentLoop:
@@ -112,9 +116,11 @@ class AgentLoop:
                 lps = result.response_logprobs[row, :rlen].tolist()
                 ids, lps, call = self._truncate_at_toolcall(ids, lps)
 
+                start = len(r.token_ids)
                 r.token_ids.extend(ids)
                 r.loss_mask.extend([True] * len(ids))
                 r.logprobs.extend(lps)
+                r.turn_spans.append((start, len(r.token_ids)))
                 r.num_turns += 1
 
                 if call is not None and turn < self.cfg.max_turns - 1:
@@ -137,6 +143,58 @@ class AgentLoop:
                 r.token_ids[r.prompt_len:]
             )
         return rollouts
+
+
+def build_turn_level_train_batch(
+    rollouts: List[AgentRollout],
+    turn_rewards: List[List[float]],
+    group_size: int,
+    *,
+    pad_id: int,
+    advantage_mode: str = "turn",
+    seq_bucket: int = 128,
+) -> TrainBatch:
+    """Multi-turn/multi-agent GRPO batch (the MultiAgentLoopWorker analog,
+    reference agent_loop.py:432 + grpo_dynamic advantages advantages.py:125):
+    every trajectory contributes per-TURN rewards; grpo_dynamic normalizes
+    across the group and each model turn's tokens get its own advantage.
+
+    ``turn_rewards[i][k]`` scores rollout i's k-th model turn. Rollouts are
+    grouped consecutively: trajectories [0..group_size) share question 0, etc.
+    """
+    import jax.numpy as jnp
+
+    from rlinf_tpu.algorithms.advantages import compute_grpo_dynamic_advantages
+
+    flat_rewards, idx_to_traj = [], []
+    for i, r in enumerate(rollouts):
+        assert len(turn_rewards[i]) == len(r.turn_spans), (
+            f"rollout {i}: {len(turn_rewards[i])} rewards vs "
+            f"{len(r.turn_spans)} turns")
+        for rew in turn_rewards[i]:
+            flat_rewards.append(float(rew))
+            idx_to_traj.append(i)
+    turn_adv, _ = compute_grpo_dynamic_advantages(
+        jnp.asarray(flat_rewards),
+        jnp.ones((1, len(flat_rewards)), jnp.float32),
+        group_size, idx_to_traj, advantage_mode=advantage_mode)
+    turn_adv = np.asarray(turn_adv)[0]   # [num_turns]
+
+    batch = build_agent_train_batch(
+        rollouts, np.zeros(len(rollouts), np.float32), pad_id=pad_id,
+        seq_bucket=seq_bucket)
+    advantages = np.asarray(batch.advantages)
+    T = advantages.shape[1]
+    turn_idx = 0
+    for i, r in enumerate(rollouts):
+        for (start, end) in r.turn_spans:
+            # target at position t scores token t+1: shift spans left by 1
+            lo, hi = max(start - 1, 0), min(end - 1, T)
+            advantages[i, lo:hi] = np.where(
+                np.asarray(batch.loss_mask[i, lo:hi]),
+                turn_adv[turn_idx], advantages[i, lo:hi])
+            turn_idx += 1
+    return dataclasses.replace(batch, advantages=advantages)
 
 
 def build_agent_train_batch(

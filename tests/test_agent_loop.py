@@ -159,3 +159,44 @@ def test_agent_loop_executes_tool_and_masks_result(tiny_engine):
     span_text = tk.decode([r.token_ids[i] for i in masked_off])
     assert span_text == "\n<result>2</result>\n"
     assert all(r.logprobs[i] == 0.0 for i in masked_off)
+
+
+def test_turn_level_train_batch(tiny_engine):
+    """Per-turn grpo_dynamic advantages land on each turn's tokens (the
+    MultiAgentLoopWorker analog, reference agent_loop.py:432)."""
+    from rlinf_tpu.agents.agent_loop import build_turn_level_train_batch
+
+    cfg, params, engine = tiny_engine
+    tk = ByteTokenizer()
+    tools = ToolRegistry([EchoTool()])
+    loop = AgentLoop(engine, tk, tools,
+                     AgentLoopConfig(max_turns=2, max_total_len=256))
+    # group_size=2: rollouts 0,1 share question A; 2,3 share question B
+    prompts = [tk.encode("qA: "), tk.encode("qA: "),
+               tk.encode("qB: "), tk.encode("qB: ")]
+    rollouts = loop.run(params, prompts, jax.random.PRNGKey(0))
+    for r in rollouts:
+        assert len(r.turn_spans) == r.num_turns
+        for (s, e) in r.turn_spans:
+            assert all(r.loss_mask[s:e])
+
+    turn_rewards = [[float(i + k) for k in range(r.num_turns)]
+                    for i, r in enumerate(rollouts)]
+    batch = build_turn_level_train_batch(
+        rollouts, turn_rewards, group_size=2, pad_id=0)
+    # env/prompt tokens never carry advantage
+    assert np.all(batch.advantages[~batch.loss_mask] == 0)
+    # within one rollout, different turns get different advantages when their
+    # rewards differ (per-turn normalization, not per-sequence broadcast)
+    multi = [i for i, r in enumerate(rollouts) if r.num_turns >= 2]
+    if multi:
+        i = multi[0]
+        r = rollouts[i]
+        (s0, e0), (s1, e1) = r.turn_spans[0], r.turn_spans[1]
+        a0 = batch.advantages[i, s0:e0 - 1][batch.loss_mask[i, s0:e0 - 1]]
+        a1 = batch.advantages[i, s1:e1 - 1][batch.loss_mask[i, s1:e1 - 1]]
+        if a0.size and a1.size:
+            assert not np.isclose(a0[0], a1[0])
+    # advantages are group-normalized: overall mean over turns ~ 0
+    vals = batch.advantages[batch.loss_mask]
+    assert np.isfinite(vals).all()
