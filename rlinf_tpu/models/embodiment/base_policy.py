@@ -51,6 +51,13 @@ class Policy:
     def value(self, params, obs: Dict[str, jax.Array]) -> jax.Array:
         raise NotImplementedError
 
+    def env_actions(self, policy_actions: jax.Array) -> jax.Array:
+        """Map the policy's WIRE actions (what the learner trains on) to the
+        env-facing actions. Identity by default; flow-SDE policies override
+        to extract x1 from the denoising chain, discrete-bin policies to
+        decode bin centers."""
+        return policy_actions
+
     def partition_rules(self):
         """Embodied policies are small: replicate by default."""
         from jax.sharding import PartitionSpec as P

@@ -170,8 +170,15 @@ def _block(
     positions: jax.Array,
     kv_valid_mask: Optional[jax.Array],
     attn_impl: str,
+    mask_positions: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """One transformer block. Returns (x_out, (k, v)) with k/v [B,S,K,D]."""
+    """One transformer block. Returns (x_out, (k, v)) with k/v [B,S,K,D].
+
+    mask_positions: optional [B, S] ints used for the causality test instead
+    of ``positions`` (RoPE still uses ``positions``). Enables prefix-LM /
+    block-causal masks: tokens sharing a mask position attend bidirectionally
+    (pi0-style [prefix | state | action] blocks).
+    """
     B, S, D = x.shape
     Hd = cfg.head_dim_
 
@@ -179,10 +186,11 @@ def _block(
     q, k, v = _project_qkv(cfg, layer, h, B, S)
     q, k = apply_rope(q, k, cos, sin, positions)
 
+    mpos = positions if mask_positions is None else mask_positions
     attn = causal_attention(
         q, k, v,
-        positions_q=positions,
-        positions_kv=positions,
+        positions_q=mpos,
+        positions_kv=mpos,
         kv_valid_mask=kv_valid_mask,
         impl=attn_impl,
     )
@@ -195,10 +203,12 @@ def _block(
 def forward_hidden(
     params: Params,
     cfg: LLMConfig,
-    input_ids: jax.Array,
+    input_ids: Optional[jax.Array],
     positions: Optional[jax.Array] = None,
     attention_mask: Optional[jax.Array] = None,
     *,
+    inputs_embeds: Optional[jax.Array] = None,
+    mask_positions: Optional[jax.Array] = None,
     attn_impl: str = "xla",
     return_kv: bool = False,
     remat: bool = False,
@@ -207,9 +217,14 @@ def forward_hidden(
     """Token ids -> final hidden states [B, S, D] (pre-lm_head).
 
     attention_mask: [B, S] bool, False = padding (left or right).
+    inputs_embeds: [B, S, D] — bypasses the embedding lookup (multimodal
+      prefixes: image patch embeddings spliced before text, the prismatic /
+      PaliGemma pattern of the reference's VLA backbones).
+    mask_positions: [B, S] ints for the causality test only (see _block) —
+      prefix-LM / block-causal attention.
     return_aux: also return the summed MoE auxiliary (load-balance) loss.
     """
-    B, S = input_ids.shape
+    B, S = (input_ids.shape if inputs_embeds is None else inputs_embeds.shape[:2])
     if positions is None:
         if attention_mask is not None:
             positions = jnp.maximum(
@@ -219,11 +234,15 @@ def forward_hidden(
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
 
     cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
-    x = params["embed"][input_ids].astype(cfg.compute_dtype)
+    if inputs_embeds is None:
+        x = params["embed"][input_ids].astype(cfg.compute_dtype)
+    else:
+        x = inputs_embeds.astype(cfg.compute_dtype)
     x = shard_activation(x, P(Ax.BATCH, None, None))
 
     block_fn = lambda x, layer: _block(
-        cfg, x, layer, cos, sin, positions, attention_mask, attn_impl
+        cfg, x, layer, cos, sin, positions, attention_mask, attn_impl,
+        mask_positions,
     )
     if remat:
         block_fn = jax.checkpoint(block_fn)

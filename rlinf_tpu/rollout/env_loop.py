@@ -90,7 +90,11 @@ class EnvLoop:
                 values = (
                     np.asarray(outs[s].values) if outs[s].values is not None else None
                 )
-                step = self.envs[s].step(actions)
+                # wire actions (trained on) -> env actions (flow policies
+                # extract x1 from the chain, bin policies decode centers)
+                step = self.envs[s].step(
+                    np.asarray(self.policy.env_actions(actions))
+                )
                 buffers[s].add(
                     self._obs[s], actions, step.reward, step.done, values, logprobs
                 )
