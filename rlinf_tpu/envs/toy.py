@@ -116,6 +116,41 @@ class PointReachEnv(VectorEnv):
         return out
 
 
+@register_env("image_reach")
+class ImageReachEnv(PointReachEnv):
+    """PointReach with a rendered image observation: agent dot (red) + goal
+    dot (green) on a ``size``x``size`` canvas, plus the state vector. The
+    in-tree learnability check for VLA / image policies — the analog of the
+    reference's ManiSkill image tasks in its e2e test matrix (SURVEY.md §4).
+    Dots are 2x2 blocks so a patch-16 ViT sees gradient signal everywhere."""
+
+    def __init__(self, num_envs: int, seed: int = 0, size: int = 32, **kw):
+        super().__init__(num_envs, seed, **kw)
+        self.size = size
+        self.obs_spec = {"states": (4,), "images": (size, size, 3)}
+
+    def _render(self) -> np.ndarray:
+        B, S = self.num_envs, self.size
+        img = np.zeros((B, S, S, 3), np.float32)
+        span = 1.5 * self.arena
+        rows = np.arange(B)
+
+        def blit(pts, channel):
+            xy = ((pts / span + 1.0) * 0.5 * (S - 2)).astype(int).clip(0, S - 2)
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    img[rows, xy[:, 1] + dy, xy[:, 0] + dx, channel] = 1.0
+
+        blit(self._pos, 0)
+        blit(self._goal, 1)
+        return img
+
+    def _obs(self) -> Dict[str, np.ndarray]:
+        out = super()._obs()
+        out["images"] = self._render()
+        return out
+
+
 @register_env("bandit")
 class BanditEnv(VectorEnv):
     """1-step continuous bandit: reward = -||a - target||^2. The fastest

@@ -212,3 +212,51 @@ def _load_episodes_to_buffer(directory: str, buffer) -> int:
         buffer.add(item)
         count += 1
     return count
+
+
+class ActionChunkWrapper(VectorEnv):
+    """Executes a K-step action CHUNK per env step.
+
+    The analog of the reference's chunked action stepping for VLA policies
+    (reference rlinf/workers/env/env_worker.py chunk-step loop accumulating
+    ChunkStepResult, :1035-1143): the policy emits [B, K*A] (K chunk steps of
+    an A-dim action); the wrapper steps the inner env K times, sums rewards,
+    ORs dones, and reports the final observation. Done-masking within a
+    chunk follows the reference's behavior: the inner env auto-resets, and
+    remaining chunk actions apply to the fresh episode (chunk boundaries are
+    not episode boundaries).
+    """
+
+    def __init__(self, env: VectorEnv, chunk: int):
+        self.env = env
+        self.chunk = chunk
+        self.num_envs = env.num_envs
+        self.obs_spec = env.obs_spec
+        self.inner_action_dim = env.action_dim
+        self.action_dim = env.action_dim * chunk
+        self.max_episode_steps = max(1, env.max_episode_steps // chunk)
+
+    def reset(self):
+        return self.env.reset()
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        B = actions.shape[0]
+        acts = np.asarray(actions, np.float32).reshape(
+            B, self.chunk, self.inner_action_dim
+        )
+        total_reward = np.zeros(B, np.float32)
+        done = np.zeros(B, bool)
+        terminated = np.zeros(B, bool)
+        out = None
+        for k in range(self.chunk):
+            out = self.env.step(acts[:, k])
+            total_reward += out.reward
+            done |= out.done
+            terminated |= out.terminated
+        return EnvOutput(
+            obs=out.obs, reward=total_reward, done=done,
+            terminated=terminated, info=out.info,
+        )
+
+    def metrics(self):
+        return self.env.metrics()

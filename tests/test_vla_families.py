@@ -200,3 +200,55 @@ def test_registry_factories_build():
     assert isinstance(p, GR00TPolicy) and p.cfg.num_embodiments == 1
     p = get_model("openvla", action_dim=3)
     assert isinstance(p, OpenVLAPolicy)
+
+
+# ---------------------------------------------------------------------------
+# e2e: VLA learns an image task (goal visible ONLY in the image)
+# ---------------------------------------------------------------------------
+
+def test_vla_oft_learns_image_reach():
+    """OFT-style VLA PPO on image_reach with chunked actions — the in-tree
+    analog of the reference's ManiSkill VLA e2e configs (SURVEY.md §4 tier 3).
+    The proprio carries only the agent position; the goal must be read from
+    the image, so success rising proves the vision path trains."""
+    from rlinf_tpu.envs.toy import ImageReachEnv
+    from rlinf_tpu.envs.wrappers import ActionChunkWrapper
+    from rlinf_tpu.models.embodiment.vla_policy import VLAPolicy
+    from rlinf_tpu.runners.embodied_runner import (
+        EmbodiedRunner, EmbodiedRunnerConfig,
+    )
+    from rlinf_tpu.training.train_state import OptimizerConfig
+
+    class PosOnlyImageReach(ImageReachEnv):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.obs_spec = {"states": (2,), "images": (self.size, self.size, 3)}
+
+        def _obs(self):
+            o = super()._obs()
+            o["states"] = o["states"][:, :2]
+            return o
+
+    env = ActionChunkWrapper(
+        PosOnlyImageReach(num_envs=64, seed=0, max_episode_steps=16,
+                          goal_radius=0.3, dt=0.3),
+        chunk=2,
+    )
+    policy = VLAPolicy(
+        image_size=32, patch_size=8, action_dim=2, action_chunk=2,
+        proprio_dim=2, hidden=64, trunk_layers=2, vit_layers=2, heads=4,
+        init_logstd=-0.5,
+    )
+    cfg = EmbodiedRunnerConfig(
+        num_chunk_steps=8, num_epochs=2, num_mini_batches=4,
+        gamma=0.9, gae_lambda=0.95, max_steps=40, seed=0,
+    )
+    runner = EmbodiedRunner(
+        cfg, [env], policy, optimizer=OptimizerConfig(lr=2e-3, clip_grad=1.0),
+    )
+    hist = runner.run(max_steps=40)
+    succ = [h.get("env/success_once", 0.0) for h in hist]
+    early = float(np.mean(succ[:8]))
+    late = float(np.mean(succ[-8:]))
+    assert late > early + 0.05, f"success_once {early:.3f} -> {late:.3f}"
+    assert late > 0.28, f"final success too low: {late:.3f}"
