@@ -126,7 +126,7 @@ class AgentLoop:
                 if call is not None and turn < self.cfg.max_turns - 1:
                     r.num_tool_calls += 1
                     obs = self.cfg.tool_result_template.format(
-                        self.tools.call(call.tool, call.args)
+                        self.tools.call(call.tool, call.args, session=i)
                     )
                     obs_ids = self.tokenizer.encode(obs)
                     room = self.cfg.max_total_len - len(r.token_ids)

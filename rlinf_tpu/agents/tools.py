@@ -28,11 +28,17 @@ class ToolRegistry:
     def register(self, tool: Tool):
         self._tools[tool.name] = tool
 
-    def call(self, name: str, args: str) -> str:
+    def call(self, name: str, args: str, session: object = None) -> str:
+        """Stateful tools (``tool.stateful = True``) get a per-conversation
+        ``session`` key — the analog of the reference's tool sessions
+        (reference rlinf/agents/rstar2/rstar2_agent_loop.py:98
+        tool_session_get/release)."""
         tool = self._tools.get(name)
         if tool is None:
             return f"error: unknown tool '{name}'"
         try:
+            if getattr(tool, "stateful", False):
+                return tool(args, session=session)
             return tool(args)
         except Exception as e:  # tool errors are observations, not crashes
             return f"error: {e}"
