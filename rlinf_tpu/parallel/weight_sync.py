@@ -113,7 +113,19 @@ class BucketWeightSyncer(WeightSyncer):
 class PatchWeightSyncer(WeightSyncer):
     """Delta sync: ship quantized (new - snapshot) and reconstruct on the
     target (reference patch_syncer.py:138,260 behavior: snapshot on first
-    sync, int8-quantized per-leaf deltas afterwards)."""
+    sync, quantized per-leaf deltas afterwards; compression options mirror
+    patch_syncer compressor.py).
+
+    Compression modes:
+      * ``int8``  — per-block symmetric int8 quantization of the delta
+        (block_size scales instead of one per-tensor scale: fidelity holds
+        up when a few coordinates move far, the common case after an
+        optimizer step);
+      * ``topk``  — ship only the ``topk_ratio`` largest-|delta| entries
+        (bf16 values + int32 indices) with error feedback: unsent delta
+        stays in the snapshot difference and is carried into the next sync,
+        so compression error does not accumulate.
+    """
 
     def __init__(
         self,
@@ -121,13 +133,54 @@ class PatchWeightSyncer(WeightSyncer):
         target_rules,
         *,
         quantize: bool = True,
+        compression: str = "int8",      # int8 | topk
+        block_size: int = 256,
+        topk_ratio: float = 0.05,
         dtype: Optional[str] = None,
     ):
         super().__init__(target_mesh, target_rules, dtype=dtype)
         self.quantize = quantize
+        self.compression = compression
+        self.block_size = block_size
+        self.topk_ratio = topk_ratio
         self._snapshot = None           # source-side copy of last synced params
         self._target_params = None      # target-side reconstruction state
         self.last_bytes_sent = 0
+
+    # -- delta codecs (pure XLA; jit-compiled on first use) ---------------
+    def _encode_int8(self, delta):
+        """[-1] delta -> (q int8 [nb, B], scales fp32 [nb]) per-block."""
+        B = self.block_size
+        n = delta.size
+        nb = -(-n // B)
+        flat = jnp.zeros((nb * B,), jnp.float32).at[:n].set(delta.reshape(-1))
+        blocks = flat.reshape(nb, B)
+        scales = jnp.maximum(jnp.max(jnp.abs(blocks), axis=1), 1e-12) / 127.0
+        q = jnp.clip(
+            jnp.round(blocks / scales[:, None]), -127, 127
+        ).astype(jnp.int8)
+        return q, scales
+
+    @staticmethod
+    def _decode_int8(q, scales, shape):
+        n = int(np.prod(shape))
+        flat = (q.astype(jnp.float32) * scales[:, None]).reshape(-1)[:n]
+        return flat.reshape(shape)
+
+    def _encode_topk(self, delta):
+        """[-1] delta -> (values bf16 [k], indices int32 [k])."""
+        flat = delta.reshape(-1)
+        k = max(int(flat.size * self.topk_ratio), 1)
+        _, idx = jax.lax.top_k(jnp.abs(flat), k)
+        return flat[idx].astype(jnp.bfloat16), idx.astype(jnp.int32)
+
+    @staticmethod
+    def _decode_topk(values, idx, shape):
+        n = int(np.prod(shape))
+        flat = jnp.zeros((n,), jnp.float32).at[idx].set(
+            values.astype(jnp.float32)
+        )
+        return flat.reshape(shape)
 
     def sync(self, params) -> Any:
         shardings = self._shardings_for(params)
@@ -156,18 +209,26 @@ class PatchWeightSyncer(WeightSyncer):
                 moved = jax.device_put(self._convert(new), sh)
                 return moved, new
             delta = new.astype(jnp.float32) - old.astype(jnp.float32)
-            scale = jnp.maximum(jnp.max(jnp.abs(delta)), 1e-12) / 127.0
-            q = jnp.clip(jnp.round(delta / scale), -127, 127).astype(jnp.int8)
-            bytes_sent += q.nbytes + 4
-            q_t = jax.device_put(q, sh)
-            scale_t = jax.device_put(scale, NamedSharding(self.target_mesh, P()))
-            recon = (
-                tgt.astype(jnp.float32) + q_t.astype(jnp.float32) * scale_t
-            ).astype(tgt.dtype)
+            if self.compression == "topk":
+                values, idx = self._encode_topk(delta)
+                bytes_sent += values.nbytes + idx.nbytes
+                # "transfer": payload moves to the target mesh, decode there
+                v_t = jax.device_put(values, NamedSharding(self.target_mesh, P()))
+                i_t = jax.device_put(idx, NamedSharding(self.target_mesh, P()))
+                dec_t = self._decode_topk(v_t, i_t, new.shape)
+                dec_s = self._decode_topk(values, idx, new.shape)
+            else:
+                q, scales = self._encode_int8(delta)
+                bytes_sent += q.nbytes + scales.nbytes
+                q_t = jax.device_put(q, NamedSharding(self.target_mesh, P()))
+                s_t = jax.device_put(scales, NamedSharding(self.target_mesh, P()))
+                dec_t = self._decode_int8(q_t, s_t, new.shape)
+                dec_s = self._decode_int8(q, scales, new.shape)
+            recon = jax.device_put(
+                (tgt.astype(jnp.float32) + dec_t).astype(tgt.dtype), sh
+            )
             # source-side mirror of the reconstruction (same arithmetic)
-            mirror = (
-                old.astype(jnp.float32) + q.astype(jnp.float32) * scale
-            ).astype(new.dtype)
+            mirror = (old.astype(jnp.float32) + dec_s).astype(new.dtype)
             return recon, mirror
 
         pairs = jax.tree_util.tree_map(

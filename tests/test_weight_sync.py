@@ -133,3 +133,55 @@ def test_dtype_conversion(placement):
     syncer = WeightSyncer(placement.mesh("rollout"), RULES, dtype="bfloat16")
     out = syncer.sync(params)
     assert out["w1"].dtype == jnp.bfloat16
+
+
+def test_patch_sync_topk_error_feedback(placement):
+    """Top-k sparsified patches: unsent delta carries into the next sync
+    (error feedback), so the target converges when updates stop."""
+    rng = np.random.default_rng(4)
+    params = _params(rng)
+    syncer = PatchWeightSyncer(
+        placement.mesh("rollout"), RULES, compression="topk", topk_ratio=0.25
+    )
+    syncer.sync(params)
+    full_bytes = syncer.last_bytes_sent
+
+    # one real update, then repeated syncs with NO further source change:
+    # each top-k round ships more of the outstanding delta
+    params = jax.tree_util.tree_map(
+        lambda x: x + 0.05 * jnp.asarray(
+            np.random.default_rng(9).normal(size=x.shape), jnp.float32
+        ),
+        params,
+    )
+    errs = []
+    for _ in range(12):
+        out = syncer.sync(params)
+        assert syncer.last_bytes_sent < full_bytes  # sparse payload
+        errs.append(max(
+            float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(out), jax.tree_util.tree_leaves(params)
+            )
+        ))
+    assert errs[-1] < errs[0] / 4  # converging toward the source
+    assert errs[-1] < 5e-3
+
+
+def test_patch_sync_blockwise_beats_per_tensor_outlier(placement):
+    """Per-block int8 scales keep fidelity when one coordinate jumps
+    (per-tensor scaling would crush every other delta to zero)."""
+    w = jnp.zeros((4, 512), jnp.float32)
+    params = {"w1": w}
+    syncer = PatchWeightSyncer(
+        placement.mesh("rollout"), RULES, block_size=128
+    )
+    syncer.sync(params)
+    # tiny uniform drift + one huge outlier in a different block
+    new = w + 1e-3
+    new = new.at[0, 0].set(100.0)
+    out = syncer.sync({"w1": new})
+    got = np.asarray(out["w1"])
+    assert got[0, 0] == pytest.approx(100.0, rel=1e-2)
+    # blocks away from the outlier still resolve the 1e-3 drift
+    assert abs(got[3, 400] - 1e-3) < 2e-4
