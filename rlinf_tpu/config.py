@@ -14,6 +14,7 @@ from typing import Any, Dict, Optional
 import yaml
 
 from rlinf_tpu.models.llm.config import LLMConfig
+from rlinf_tpu.models.llm.lora import LoRAConfig
 from rlinf_tpu.models.llm.sampler import SamplingParams
 from rlinf_tpu.parallel.mesh import MeshConfig
 from rlinf_tpu.training.learner import PolicyLossConfig
@@ -65,6 +66,7 @@ class TrainerConfig:
     runner: RunnerConfig = dataclasses.field(default_factory=RunnerConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    lora: LoRAConfig = dataclasses.field(default_factory=LoRAConfig)
     num_microbatches: int = 1
     remat: bool = True
     attn_impl: str = "xla"
@@ -79,6 +81,7 @@ _SECTION_TYPES = {
     "runner": RunnerConfig,
     "data": DataConfig,
     "mesh": MeshConfig,
+    "lora": LoRAConfig,
 }
 
 

@@ -80,6 +80,23 @@ class ReasoningRunner:
                     params, cfg.model, ids, mask, attn_impl=cfg.attn_impl
                 )
             )
+        elif cfg.lora.enabled:
+            # LoRA mode (reference guides/lora.rst is_lora/lora_rank): train
+            # only the low-rank adapters; base params stay frozen and are
+            # passed to the jitted step as a runtime argument.
+            assert cfg.loss.max_tokens_per_mb == 0, (
+                "LoRA + dynamic token-budget microbatching not supported yet"
+            )
+            from rlinf_tpu.training.lora_learner import make_lora_policy_train_step
+
+            lora_step = make_lora_policy_train_step(
+                cfg.model, cfg.loss, self.tx, cfg.lora,
+                num_microbatches=cfg.num_microbatches,
+                remat=cfg.remat, attn_impl=cfg.attn_impl,
+            )
+            self.train_step = lambda state, batch: lora_step(
+                state, self.base_params, batch
+            )
         else:
             self.train_step = make_policy_train_step(
                 cfg.model, cfg.loss, self.tx,
@@ -117,10 +134,35 @@ class ReasoningRunner:
             init_fn = base_init
         rng = jax.random.PRNGKey(cfg.runner.seed)
         self._rng, init_rng = jax.random.split(rng)
-        self.state = create_train_state(
-            init_fn, self.tx, init_rng,
-            mesh=mesh, partition_rules=M.partition_rules() if mesh else None,
-        )
+        if cfg.lora.enabled and not self.with_critic:
+            from rlinf_tpu.models.llm.lora import init_lora_params, merge_lora
+            from rlinf_tpu.parallel.sharding import (
+                match_partition_rules, shard_pytree,
+            )
+
+            self.base_params = init_fn(jax.random.fold_in(init_rng, 11))
+            if mesh is not None:
+                specs = match_partition_rules(
+                    M.partition_rules(), self.base_params
+                )
+                self.base_params = shard_pytree(self.base_params, specs, mesh)
+            self.state = create_train_state(
+                lambda r: init_lora_params(cfg.model, cfg.lora, r),
+                self.tx, init_rng,
+            )
+            if cfg.lora.path:
+                state, _, _ = CheckpointManager(cfg.lora.path).restore(self.state)
+                if state is not None:
+                    self.state = state
+            self._merge = jax.jit(
+                lambda base, lora: merge_lora(base, lora, cfg.lora)
+            )
+        else:
+            self.base_params = None
+            self.state = create_train_state(
+                init_fn, self.tx, init_rng,
+                mesh=mesh, partition_rules=M.partition_rules() if mesh else None,
+            )
 
         self.iterator = StatefulBatchIterator(
             dataset, cfg.runner.rollout_batch_size, seed=cfg.runner.seed
@@ -285,9 +327,16 @@ class ReasoningRunner:
         metrics["actor/num_dyn_microbatches"] = float(len(mbs))
         return metrics
 
+    def _policy_params(self):
+        """Params the rollout/logprob phases see: merged base+adapters in
+        LoRA mode, the train state otherwise."""
+        if self.base_params is not None:
+            return self._merge(self.base_params, self.state.params)
+        return self.state.params
+
     def run_step(self) -> Dict[str, float]:
         with self.timers.scope("rollout"):
-            result = self._rollout_phase(self.state.params)
+            result = self._rollout_phase(self._policy_params())
         return self._train_on_result(result)
 
     def _train_on_result(self, result) -> Dict[str, float]:
@@ -324,7 +373,7 @@ class ReasoningRunner:
 
         # 3b. optional fp32 logprob recompute (reference run_inference)
         if self.logprob_fn is not None:
-            lp, _ = self.logprob_fn(self.state.params, batch_dict)
+            lp, _ = self.logprob_fn(self._policy_params(), batch_dict)
             batch_dict["old_logprobs"] = jnp.where(
                 batch_dict["loss_mask"], lp, 0.0
             )
@@ -407,14 +456,14 @@ class ReasoningRunner:
         history: List[Dict[str, float]] = []
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         try:
-            params_copy = jax.tree_util.tree_map(jnp.copy, self.state.params)
+            params_copy = jax.tree_util.tree_map(jnp.copy, self._policy_params())
             future = pool.submit(self._rollout_phase, params_copy)
             while self.global_step < n:
                 result = future.result()
                 if self.global_step + 1 < n:
                     # next rollout uses a snapshot (train step donates state)
                     params_copy = jax.tree_util.tree_map(
-                        jnp.copy, self.state.params
+                        jnp.copy, self._policy_params()
                     )
                     future = pool.submit(self._rollout_phase, params_copy)
                 history.append(self._train_on_result(result))
