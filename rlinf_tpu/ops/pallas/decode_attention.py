@@ -1,0 +1,219 @@
+"""Packed-layout decode attention (Pallas TPU kernel + XLA reference).
+
+Decode is HBM-bandwidth-bound, so the KV cache layout IS the optimization:
+
+  * KV is stored PACKED as [B, S_max, Kv*Hd]. For GQA models with few kv
+    heads (Qwen2-0.5B: Kv=2, Hd=64 -> 128 lanes) this is a perfect lane
+    tile; the naive [B, S, Kv, Hd] layout pads its last two dims to the
+    bf16 (16, 128) tile -> up to 16x physical HBM blowup and traffic.
+  * One program per (row, key-block); the kernel streams only the blocks
+    inside the row's valid interval [start, length). Out-of-range grid
+    steps clamp their BlockSpec index to the previous block — Mosaic
+    elides the repeated DMA — so HBM traffic is proportional to ACTUAL
+    sequence lengths, not the padded S_max (the reference gets this from
+    SGLang/FlashInfer paged kernels, SURVEY.md §2.9).
+  * Online softmax (running max / normalizer / accumulator in VMEM
+    scratch across the sequentially-executed block dimension).
+  * Both kv heads of a block are attended by ONE program (the packed
+    block holds all kv heads), so each cache byte is DMA'd exactly once.
+
+Valid interval semantics: slot s of row b participates iff
+``start[b] <= s < length[b]`` — supports left-padded prompts (static
+engine: valid = [P - plen, P + t)) and right-aligned-from-0 continuous
+slots (start = 0) with one kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -2.0**30
+
+
+def _kernel(
+    # scalar prefetch
+    starts_ref,     # [B] int32
+    lengths_ref,    # [B] int32
+    # blocks
+    q_ref,          # [1, Hp, KD] — row h*G+g holds head (h,g)'s q in lanes
+                    #   [h*Hd, (h+1)*Hd), ZEROS elsewhere (see caller)
+    k_ref,          # [1, BLK, KD]
+    v_ref,          # [1, BLK, KD]
+    out_ref,        # [1, Hp, KD] — packed, caller slices each head's lanes
+    # scratch (persist across the block grid dim)
+    acc_ref,        # [Hp, KD] f32
+    m_ref,          # [Hp, 128] f32 (col 0 used)
+    l_ref,          # [Hp, 128] f32
+    *,
+    block_size: int,
+    scale: float,
+):
+    """All matmuls keep the packed KD lane dim intact — no in-kernel head
+    slicing or relayout. Scores: q_packed @ k_block^T — the zero lanes of
+    each q row cancel the OTHER kv heads' contributions, so one [Hp, KD] x
+    [KD, BLK] dot yields every head's scores. Accumulate: p @ v_block in
+    packed form; each head's true output lives in its own lane band (the
+    cross-head bands hold junk the caller never reads)."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+    start = starts_ref[b]
+    length = lengths_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # Block overlaps the valid interval [start, length)?
+    lo = j * block_size
+    @pl.when((lo < length) & (lo + block_size > start))
+    def _block():
+        Hp = q_ref.shape[1]
+        q = q_ref[0].astype(jnp.float32)     # [Hp, KD]
+        k = k_ref[0].astype(jnp.float32)     # [BLK, KD]
+        v = v_ref[0].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                            # [Hp, BLK]
+        pos = lo + jax.lax.broadcasted_iota(jnp.int32, (Hp, block_size), 1)
+        valid = (pos >= start) & (pos < length)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]                # [Hp, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        # Explicit zero on invalid slots: when a whole block (or row) is
+        # masked, m_new == NEG_INF and exp(s - m_new) would be exp(0)=1.
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)   # [Hp, BLK]
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                    # [Hp, KD]
+
+    @pl.when(j == n_blocks - 1)
+    def _finish():
+        out_ref[0] = (
+            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        ).astype(out_ref.dtype)
+
+
+def decode_attention_packed(
+    q: jax.Array,          # [B, H, Hd] one decode token per row
+    k_cache: jax.Array,    # [B, S_max, Kv*Hd] packed
+    v_cache: jax.Array,    # [B, S_max, Kv*Hd]
+    starts: jax.Array,     # [B] int32 first valid slot
+    lengths: jax.Array,    # [B] int32 end of valid interval (exclusive)
+    *,
+    num_kv: int,
+    scale: Optional[float] = None,
+    block_size: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """-> [B, H, Hd] attention output in q.dtype."""
+    B, H, Hd = q.shape
+    S = k_cache.shape[1]
+    KD = num_kv * Hd
+    G = H // num_kv
+    if scale is None:
+        scale = Hd**-0.5
+    block_size = min(block_size, S)
+    n_blocks = pl.cdiv(S, block_size)
+    Hp = max(8, H)  # sublane-pad the head dim
+
+    # Pack q: row h*G+g carries head (h,g)'s vector in lanes [h*Hd,(h+1)*Hd),
+    # zeros elsewhere — zero lanes cancel other kv heads in the packed dot.
+    head = jnp.arange(H) // G                                  # kv head per row
+    lane = jnp.arange(KD)
+    band = (lane[None, :] >= (head * Hd)[:, None]) & (
+        lane[None, :] < ((head + 1) * Hd)[:, None]
+    )                                                          # [H, KD]
+    q_tiled = jnp.tile(q, (1, 1, num_kv))[:, :, :KD]           # [B, H, KD]
+    q_packed = jnp.where(band[None], q_tiled, 0).astype(q.dtype)
+    if Hp > H:
+        q_packed = jnp.pad(q_packed, ((0, 0), (0, Hp - H), (0, 0)))
+
+    def q_index(b, j, st, ln):
+        return (b, 0, 0)
+
+    def kv_index(b, j, st, ln):
+        # Clamp out-of-interval blocks to the row's last valid block: the
+        # repeated index makes Mosaic skip the DMA entirely.
+        last = jnp.maximum(pl.cdiv(ln[b], block_size) - 1, 0)
+        first = st[b] // block_size
+        return (b, jnp.clip(j, first, last), 0)
+
+    def out_index(b, j, st, ln):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, Hp, KD), q_index),
+            pl.BlockSpec((1, block_size, KD), kv_index),
+            pl.BlockSpec((1, block_size, KD), kv_index),
+        ],
+        out_specs=pl.BlockSpec((1, Hp, KD), out_index),
+        scratch_shapes=[
+            pltpu.VMEM((Hp, KD), jnp.float32),
+            pltpu.VMEM((Hp, 128), jnp.float32),
+            pltpu.VMEM((Hp, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_size=block_size, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, KD), q.dtype),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
+      q_packed, k_cache, v_cache)
+    # Extract each head's lane band: out[:, h*G+g, h*Hd:(h+1)*Hd].
+    out = out[:, :H].reshape(B, num_kv, G, KD)
+    out = jnp.stack(
+        [out[:, h, :, h * Hd:(h + 1) * Hd] for h in range(num_kv)], axis=1
+    )
+    return out.reshape(B, H, Hd)
+
+
+def decode_attention_packed_xla(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    starts: jax.Array,
+    lengths: jax.Array,
+    *,
+    num_kv: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """XLA reference with identical semantics (CPU tests / numerics oracle)."""
+    B, H, Hd = q.shape
+    S = k_cache.shape[1]
+    G = H // num_kv
+    if scale is None:
+        scale = Hd**-0.5
+    k = k_cache.reshape(B, S, num_kv, Hd)
+    v = v_cache.reshape(B, S, num_kv, Hd)
+    qg = q.reshape(B, num_kv, G, Hd)
+    s = jnp.einsum("bkgd,bskd->bkgs", qg, k).astype(jnp.float32) * scale
+    pos = jnp.arange(S)[None, :]
+    valid = (pos >= starts[:, None]) & (pos < lengths[:, None])   # [B, S]
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    # Rows with an empty interval produce uniform junk; zero them like the
+    # kernel (l == 0 -> acc stays 0).
+    p = jnp.where(jnp.any(valid, -1)[:, None, None, None], p, 0.0)
+    out = jnp.einsum("bkgs,bskd->bkgd", p.astype(q.dtype), v)
+    return out.reshape(B, H, Hd)

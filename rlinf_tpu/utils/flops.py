@@ -22,7 +22,10 @@ class ChipSpec:
 
     @staticmethod
     def v5e() -> "ChipSpec":
-        return ChipSpec("tpu-v5e", 394e12, 819e9, 16e9)
+        # v5e peak: 394 TOPS int8, 197 TFLOP/s bf16, 819 GB/s HBM.
+        # (Round-1 used 394e12 for bf16 — that is the int8 figure; all
+        # MFU/SOL numbers were reported against a 2x-inflated roofline.)
+        return ChipSpec("tpu-v5e", 197e12, 819e9, 16e9)
 
     @staticmethod
     def v5p() -> "ChipSpec":
