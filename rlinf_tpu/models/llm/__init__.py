@@ -11,7 +11,12 @@ from rlinf_tpu.models.llm.model import (
     partition_rules,
     prefill,
     decode_step,
+    decode_step_packed,
+    init_kv_cache_packed,
+    packed_cache_from_stacked,
+    lm_head_logits,
 )
+from rlinf_tpu.models.llm.quant import QTensor, quantize_params
 from rlinf_tpu.models.llm.sampler import (
     GenerateOutput,
     SamplingParams,
@@ -31,6 +36,12 @@ __all__ = [
     "partition_rules",
     "prefill",
     "decode_step",
+    "decode_step_packed",
+    "init_kv_cache_packed",
+    "packed_cache_from_stacked",
+    "lm_head_logits",
+    "QTensor",
+    "quantize_params",
     "GenerateOutput",
     "SamplingParams",
     "generate",

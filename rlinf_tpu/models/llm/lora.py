@@ -29,7 +29,10 @@ from rlinf_tpu.models.llm.config import LLMConfig
 
 Params = Dict[str, Any]
 
-# every 2D-per-layer matmul weight in the dense decoder
+# every 2D-per-layer matmul weight in the dense decoder; "lm_head" may be
+# added as an extra target (peft's optional lm_head target module) — it
+# adapts the output projection even for tied-embedding models (the merged
+# tree gains an explicit "lm_head" leaf that lm_head_weight prefers).
 DEFAULT_TARGETS: Tuple[str, ...] = (
     "wq", "wk", "wv", "wo", "gate", "up", "down",
 )
@@ -54,8 +57,11 @@ class LoRAConfig:
 def init_lora_params(
     cfg: LLMConfig, lora_cfg: LoRAConfig, rng: jax.Array
 ) -> Params:
-    """Fresh adapters: a ~ N(0, 1/r), b = 0 (so the merged model starts
-    exactly at the base model)."""
+    """Fresh adapters: a ~ N(0, 1/d_in) (Kaiming-style fan-in init, the
+    standard LoRA init — Hu et al. 2021), b = 0 (so the merged model starts
+    exactly at the base model). Scaling by 1/sqrt(rank) instead of fan-in
+    makes the delta per unit-b ~sqrt(d_in/r) times too large and Adam blows
+    the adapters into saturation at normal learning rates."""
     L = cfg.num_layers
     dims = {
         "wq": (cfg.hidden_size, cfg.q_dim),
@@ -70,12 +76,25 @@ def init_lora_params(
     out: Params = {"blocks": {}}
     keys = jax.random.split(rng, len(lora_cfg.targets))
     for key, name in zip(keys, lora_cfg.targets):
+        if name == "lm_head":
+            # unstacked [D, V] output projection (works for tied embeddings
+            # too: the merge materializes an explicit lm_head leaf)
+            out["lm_head"] = {
+                "a": (jax.random.normal(
+                        key, (cfg.hidden_size, r), jnp.float32)
+                      / jnp.sqrt(cfg.hidden_size)).astype(cfg.compute_dtype),
+                "b": jnp.zeros((r, cfg.vocab_size), cfg.compute_dtype),
+            }
+            continue
         if name not in dims:
-            raise KeyError(f"unknown LoRA target {name!r}; have {sorted(dims)}")
+            raise KeyError(
+                f"unknown LoRA target {name!r}; have "
+                f"{sorted(dims) + ['lm_head']}"
+            )
         d_in, d_out = dims[name]
         out["blocks"][name] = {
             "a": (jax.random.normal(key, (L, d_in, r), jnp.float32)
-                  / jnp.sqrt(r)).astype(cfg.compute_dtype),
+                  / jnp.sqrt(d_in)).astype(cfg.compute_dtype),
             "b": jnp.zeros((L, r, d_out), cfg.compute_dtype),
         }
     return out
@@ -96,6 +115,15 @@ def merge_lora(base_params: Params, lora_params: Params,
         merged_blocks[name] = (w.astype(jnp.float32) + delta).astype(w.dtype)
     merged = dict(base_params)
     merged["blocks"] = merged_blocks
+    if "lm_head" in lora_params:
+        ab = lora_params["lm_head"]
+        w = base_params.get("lm_head")
+        if w is None:
+            w = base_params["embed"].T  # tied embeddings
+        delta = (
+            ab["a"].astype(jnp.float32) @ ab["b"].astype(jnp.float32)
+        ) * lora_cfg.scaling
+        merged["lm_head"] = (w.astype(jnp.float32) + delta).astype(w.dtype)
     return merged
 
 

@@ -28,6 +28,7 @@ from rlinf_tpu.ops.attention import causal_attention, decode_attention
 from rlinf_tpu.ops.norm import rms_norm
 from rlinf_tpu.ops.rope import apply_rope, rope_frequencies
 from rlinf_tpu.models.llm.config import LLMConfig
+from rlinf_tpu.models.llm.quant import QTensor, mm
 from rlinf_tpu.parallel.mesh import AxisNames as Ax
 from rlinf_tpu.parallel.sharding import with_sharding_constraint as shard_activation
 
@@ -127,9 +128,9 @@ def _project_qkv(cfg: LLMConfig, layer: Params, h: jax.Array, B: int, S: int):
     """qkv projection + bias + head reshape + optional Qwen3 qk-norm.
     h: [B, S, D] → q [B,S,H,Hd], k/v [B,S,K,Hd] (pre-RoPE)."""
     Hd = cfg.head_dim_
-    q = h @ layer["wq"]
-    k = h @ layer["wk"]
-    v = h @ layer["wv"]
+    q = mm(h, layer["wq"])
+    k = mm(h, layer["wk"])
+    v = mm(h, layer["wv"])
     if cfg.qkv_bias:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -157,8 +158,8 @@ def _mlp_or_moe(cfg: LLMConfig, x, layer):
         }
         out, aux = moe_layer(moe_params, h, cfg.moe_config)
         return x + out, aux
-    gated = jax.nn.silu(h @ layer["gate"]) * (h @ layer["up"])
-    return x + gated @ layer["down"], jnp.zeros((), jnp.float32)
+    gated = jax.nn.silu(mm(h, layer["gate"])) * mm(h, layer["up"])
+    return x + mm(gated, layer["down"]), jnp.zeros((), jnp.float32)
 
 
 def _block(
@@ -194,7 +195,7 @@ def _block(
         kv_valid_mask=kv_valid_mask,
         impl=attn_impl,
     )
-    x = x + attn.reshape(B, S, cfg.q_dim) @ layer["wo"]
+    x = x + mm(attn.reshape(B, S, cfg.q_dim), layer["wo"])
 
     x, aux = _mlp_or_moe(cfg, x, layer)
     return x, (k, v), aux
@@ -244,8 +245,16 @@ def forward_hidden(
         cfg, x, layer, cos, sin, positions, attention_mask, attn_impl,
         mask_positions,
     )
-    if remat:
+    if remat == "full" or remat is True:
         block_fn = jax.checkpoint(block_fn)
+    elif remat == "dots":
+        # Selective rematerialization: keep matmul outputs, recompute the
+        # cheap elementwise/norm ops — near-zero extra FLOPs vs full remat's
+        # +1 forward (trades ~half the activation-memory win).
+        block_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
 
     def scan_fn(carry, layer):
         x, aux_sum = carry
@@ -263,9 +272,19 @@ def forward_hidden(
 
 
 def lm_head_weight(params: Params, cfg: LLMConfig) -> jax.Array:
-    if cfg.tie_word_embeddings:
-        return params["embed"].T
-    return params["lm_head"]
+    if "lm_head" in params:
+        return params["lm_head"]
+    return params["embed"].T
+
+
+def lm_head_logits(params: Params, cfg: LLMConfig, hidden: jax.Array) -> jax.Array:
+    """hidden [..., D] -> fp32 logits [..., V]; handles QTensor lm_head."""
+    w = lm_head_weight(params, cfg)
+    if isinstance(w, QTensor):
+        return mm(hidden, w).astype(jnp.float32)
+    return jnp.einsum(
+        "...d,dv->...v", hidden, w, preferred_element_type=jnp.float32
+    )
 
 
 def forward_logits(
@@ -279,10 +298,7 @@ def forward_logits(
     """Full-vocab fp32 logits [B, S, V]. Prefer the fused logprob ops for
     training — this materializes the logits tensor."""
     hidden, _ = forward_hidden(params, cfg, input_ids, positions, attention_mask, **kw)
-    return jnp.einsum(
-        "bsd,dv->bsv", hidden, lm_head_weight(params, cfg),
-        preferred_element_type=jnp.float32,
-    )
+    return lm_head_logits(params, cfg, hidden)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +367,7 @@ def decode_step(
             v_cache_l, v, (0, cache_index, 0, 0)
         )
         attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
-        x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
+        x = x + mm(attn.reshape(B, 1, cfg.q_dim), layer["wo"])
         x, _ = _mlp_or_moe(cfg, x, layer)
         return x, (k_cache_l, v_cache_l)
 
@@ -388,13 +404,135 @@ def decode_step_ragged(
         k_cache_l = k_cache_l.at[rows, write_pos].set(k[:, 0])
         v_cache_l = v_cache_l.at[rows, write_pos].set(v[:, 0])
         attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
-        x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
+        x = x + mm(attn.reshape(B, 1, cfg.q_dim), layer["wo"])
         x, _ = _mlp_or_moe(cfg, x, layer)
         return x, (k_cache_l, v_cache_l)
 
     x, (new_k, new_v) = jax.lax.scan(scan_fn, x, (params["blocks"], cache.k, cache.v))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x[:, 0, :], KVCache(k=new_k, v=new_v)
+
+
+# ---------------------------------------------------------------------------
+# Packed decode path (the fast one)
+# ---------------------------------------------------------------------------
+#
+# Cache layout [B, S_max, Kv*Hd] per layer: the packed minor dim is a whole
+# number of 128-lane tiles (Qwen2-0.5B: 2*64 = 128), where [B, S, Kv, Hd]
+# pads (Kv, Hd) up to the bf16 (16, 128) tile — measured 16x physical HBM
+# blowup on the real chip. Attention reads the packed layout directly via
+# the Pallas kernel (ops/pallas/decode_attention.py); layers are unrolled so
+# the per-layer cache buffers are loop-carried and updated in place.
+
+PackedKVLayers = Tuple[Tuple[jax.Array, jax.Array], ...]
+
+
+def init_kv_cache_packed(cfg: LLMConfig, batch: int, max_len: int) -> PackedKVLayers:
+    """Tuple of per-layer (k, v), each [B, S_max, Kv*Hd]."""
+    shape = (batch, max_len, cfg.kv_dim)
+    dt = cfg.compute_dtype
+    return tuple(
+        (jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+        for _ in range(cfg.num_layers)
+    )
+
+
+def packed_cache_from_stacked(cache: KVCache) -> PackedKVLayers:
+    """KVCache [L,B,S,K,D] -> per-layer packed (k, v) [B,S,K*D]."""
+    L, B, S = cache.k.shape[:3]
+    kd = cache.k.shape[3] * cache.k.shape[4]
+    return tuple(
+        (cache.k[i].reshape(B, S, kd), cache.v[i].reshape(B, S, kd))
+        for i in range(L)
+    )
+
+
+def default_decode_attn_impl() -> str:
+    """Pallas on TPU, XLA reference elsewhere (same semantics)."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _packed_decode_attn(
+    q: jax.Array,          # [B, H, Hd]
+    kc: jax.Array,         # [B, S, K*Hd]
+    vc: jax.Array,
+    starts: jax.Array,     # [B]
+    lengths: jax.Array,    # [B]
+    num_kv: int,
+    impl: str,
+) -> jax.Array:
+    from rlinf_tpu.ops.pallas.decode_attention import (
+        decode_attention_packed,
+        decode_attention_packed_xla,
+    )
+
+    if impl == "pallas":
+        # One block per cache row: fewer grid steps wins over partial-length
+        # DMA skipping at serving cache sizes (measured on v5e); blocks of
+        # 512 re-enable skipping for long-context caches.
+        blk = kc.shape[1] if kc.shape[1] <= 512 else 512
+        return decode_attention_packed(
+            q, kc, vc, starts, lengths, num_kv=num_kv, block_size=blk
+        )
+    return decode_attention_packed_xla(
+        q, kc, vc, starts, lengths, num_kv=num_kv
+    )
+
+
+def decode_step_packed(
+    params: Params,
+    cfg: LLMConfig,
+    token_ids: jax.Array,       # [B] current input token per row
+    kv_layers: PackedKVLayers,
+    write_pos,                  # scalar or [B]: cache slot for this token's kv
+    positions: jax.Array,       # [B] rope position of this token
+    starts: jax.Array,          # [B] first valid cache slot
+    lengths: jax.Array,         # [B] end of valid interval INCLUDING this slot
+    *,
+    attn_impl: Optional[str] = None,
+) -> Tuple[jax.Array, PackedKVLayers]:
+    """One decode step on the packed cache. Returns ([B, D] hidden, cache).
+
+    ``write_pos`` may be a traced scalar (static engine: every row writes the
+    same slot — lowers to a cheap dynamic_update_slice) or a [B] vector
+    (continuous batching: per-row ragged slots -> row scatter).
+    """
+    B = token_ids.shape[0]
+    impl = attn_impl or default_decode_attn_impl()
+    kd = cfg.kv_dim
+    cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    x = params["embed"][token_ids][:, None, :].astype(cfg.compute_dtype)
+    pos = positions[:, None]
+    uniform_slot = jnp.ndim(write_pos) == 0
+    if not uniform_slot:
+        rows = jnp.arange(B)
+
+    new_layers = []
+    for i, (kc, vc) in enumerate(kv_layers):
+        layer = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q, k, v = _project_qkv(cfg, layer, h, B, 1)
+        q, k = apply_rope(q, k, cos, sin, pos)
+        if uniform_slot:
+            kc = jax.lax.dynamic_update_slice(
+                kc, k.reshape(B, 1, kd), (0, write_pos, 0)
+            )
+            vc = jax.lax.dynamic_update_slice(
+                vc, v.reshape(B, 1, kd), (0, write_pos, 0)
+            )
+        else:
+            kc = kc.at[rows, write_pos].set(k.reshape(B, kd))
+            vc = vc.at[rows, write_pos].set(v.reshape(B, kd))
+        attn = _packed_decode_attn(
+            q.reshape(B, cfg.num_heads, cfg.head_dim_), kc, vc,
+            starts, lengths, cfg.num_kv_heads, impl,
+        )
+        x = x + mm(attn.reshape(B, 1, cfg.q_dim), layer["wo"])
+        x, _ = _mlp_or_moe(cfg, x, layer)
+        new_layers.append((kc, vc))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x[:, 0, :], tuple(new_layers)
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +581,7 @@ def decode_step_layered(
         k_cache_l = k_cache_l.at[rows, write_pos].set(k[:, 0])
         v_cache_l = v_cache_l.at[rows, write_pos].set(v[:, 0])
         attn = decode_attention(q, k_cache_l, v_cache_l, kv_valid)
-        x = x + attn.reshape(B, 1, cfg.q_dim) @ layer["wo"]
+        x = x + mm(attn.reshape(B, 1, cfg.q_dim), layer["wo"])
         x, _ = _mlp_or_moe(cfg, x, layer)
         new_layers.append((k_cache_l, v_cache_l))
 

@@ -7,6 +7,16 @@ engine in subprocesses, generation is one compiled XLA program over the mesh:
 static shapes (bucketed prompt/response lengths), done-masking for finished
 sequences, fp32 sampling logits.
 
+Perf design (measured on v5e, Qwen2.5-0.5B geometry):
+  * packed [B, S, Kv*Hd] KV cache + Pallas decode attention
+    (ops/pallas/decode_attention.py) — the [B,S,K,D] layout tile-pads up to
+    16x physical HBM traffic;
+  * Gumbel-max sampling: token = argmax(logits/T + G) needs ONE pass over
+    the fp32 [B, V] logits (+ a logsumexp for the logprob) where
+    log_softmax + categorical needs several;
+  * optional int8 weight-only decode params (models/llm/quant.py) — decode
+    streams every matmul weight per step, int8 halves that.
+
 Rollout logprobs are computed under the temperature-scaled full softmax — the
 same distribution the inference worker recomputes (reference
 megatron_worker.py:1173 run_inference), so collocated GRPO can skip the
@@ -67,25 +77,30 @@ def sample_from_logits(
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample token ids and return (ids, logprob under temperature softmax).
 
-    logits: [B, V] fp32.
+    logits: [B, V] fp32. Sampling uses the Gumbel-max trick —
+    argmax(scaled + Gumbel) ~ Categorical(softmax(scaled)) — which is one
+    elementwise pass + argmax instead of materializing log_softmax and
+    running a separate categorical kernel. The returned logprob is computed
+    under the UNfiltered temperature softmax (reference semantics: rollout
+    logprobs are behavior-policy logprobs, sgl sampling_params analog).
     """
     logits = logits.astype(jnp.float32)
     if sp.greedy or sp.temperature == 0.0:
-        tok = jnp.argmax(logits, axis=-1)
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        return tok.astype(jnp.int32), jnp.take_along_axis(
-            lp, tok[:, None], axis=-1
-        )[:, 0]
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        lp = jnp.take_along_axis(logits, tok[:, None], axis=-1)[:, 0] - lse
+        return tok, lp
 
     scaled = logits / sp.temperature
-    logprobs_full = jax.nn.log_softmax(scaled, axis=-1)
     filtered = scaled
     if sp.top_k > 0:
         filtered = _filter_top_k(filtered, sp.top_k)
     if sp.top_p < 1.0:
         filtered = _filter_top_p(filtered, sp.top_p)
-    tok = jax.random.categorical(rng, filtered, axis=-1).astype(jnp.int32)
-    lp = jnp.take_along_axis(logprobs_full, tok[:, None], axis=-1)[:, 0]
+    g = jax.random.gumbel(rng, filtered.shape, jnp.float32)
+    tok = jnp.argmax(filtered + g, axis=-1).astype(jnp.int32)
+    lse = jax.nn.logsumexp(scaled, axis=-1)
+    lp = jnp.take_along_axis(scaled, tok[:, None], axis=-1)[:, 0] - lse
     return tok, lp
 
 
@@ -98,51 +113,54 @@ def generate(
     sp: SamplingParams,
     *,
     attn_impl: str = "xla",
+    decode_params: Optional[M.Params] = None,
+    decode_attn_impl: Optional[str] = None,
 ) -> GenerateOutput:
     """Batched generation. Jit-safe: shapes depend only on P and
     sp.max_new_tokens (callers bucket prompts; reference analog is SGLang's
-    continuous batching, here amortized by large static batches)."""
+    continuous batching, here amortized by large static batches).
+
+    decode_params: optional separate (e.g. int8-quantized) params for the
+    decode loop; prefill always runs on ``params``. See models/llm/quant.py
+    for the RL-correctness argument.
+    """
     B, P = prompt_ids.shape
     N = sp.max_new_tokens
     S_max = P + N
-    w_lm = M.lm_head_weight(params, cfg)
+    dparams = decode_params if decode_params is not None else params
 
     prompt_lens = jnp.sum(prompt_mask.astype(jnp.int32), axis=-1)  # [B]
     last_hidden, cache = M.prefill(
         params, cfg, prompt_ids, prompt_mask, S_max, attn_impl=attn_impl
     )
-    # Per-layer cache buffers carried through the decode loop: XLA keeps the
-    # row-scatter updates in place (the stacked scan-xs form re-materializes
-    # the whole cache every step — ~2x decode HBM traffic).
-    kv_layers = M.layered_cache_from_stacked(cache)
-    kv_valid = jnp.pad(prompt_mask, ((0, 0), (0, N)))  # [B, S_max]
+    kv_layers = M.packed_cache_from_stacked(cache)
+    # Left-padded prompt: valid cache slots are the contiguous interval
+    # [P - plen, P + t + 1) — exactly what the packed attention kernel takes.
+    starts = P - prompt_lens
 
-    logits0 = (last_hidden @ w_lm).astype(jnp.float32)
+    logits0 = M.lm_head_logits(dparams, cfg, last_hidden)
     rng, sub = jax.random.split(rng)
     tok0, lp0 = sample_from_logits(sub, logits0, sp)
 
     def step_fn(carry, t):
-        rng, prev_tok, kv_layers, kv_valid, done = carry
+        rng, prev_tok, kv_layers, done = carry
         slot = P + t  # cache slot for prev_tok's kv (t starts at 0)
         pos = prompt_lens + t  # rope position of prev_tok
-        kv_valid = jax.lax.dynamic_update_slice(
-            kv_valid, jnp.ones((B, 1), bool), (0, slot)
+        hidden, kv_layers = M.decode_step_packed(
+            dparams, cfg, prev_tok, kv_layers, slot, pos,
+            starts, jnp.full((B,), slot + 1, jnp.int32),
+            attn_impl=decode_attn_impl,
         )
-        hidden, kv_layers = M.decode_step_layered(
-            params, cfg, prev_tok, kv_layers,
-            jnp.full((B,), slot, jnp.int32), pos, kv_valid,
-        )
-        logits = (hidden @ w_lm).astype(jnp.float32)
+        logits = M.lm_head_logits(dparams, cfg, hidden)
         rng, sub = jax.random.split(rng)
         tok, lp = sample_from_logits(sub, logits, sp)
 
-        prev_done = done
         done = done | (prev_tok == sp.eos_token_id)
         tok = jnp.where(done, sp.pad_token_id, tok)
         lp = jnp.where(done, 0.0, lp)
-        return (rng, tok, kv_layers, kv_valid, done), (tok, lp, ~done)
+        return (rng, tok, kv_layers, done), (tok, lp, ~done)
 
-    carry = (rng, tok0, kv_layers, kv_valid, jnp.zeros((B,), bool))
+    carry = (rng, tok0, kv_layers, jnp.zeros((B,), bool))
     if N > 1:
         carry, (toks, lps, valids) = jax.lax.scan(
             step_fn, carry, jnp.arange(N - 1)

@@ -34,18 +34,35 @@ class RolloutEngine:
         *,
         prompt_bucket: int = 64,
         attn_impl: str = "xla",
+        decode_attn_impl: Optional[str] = None,
+        weight_quant: str = "none",
     ):
+        """weight_quant="int8": decode runs on int8 weight-only quantized
+        params (quantization happens INSIDE the jitted program, so fresh
+        learner params are re-quantized on every rollout at ~zero cost —
+        the weight-sync analog of the reference's per-step rollout reload,
+        sgl_scheduler.py:141). Prefill and reported logprobs semantics are
+        unchanged; see models/llm/quant.py for the RL-correctness argument.
+        """
         self.cfg = cfg
         self.sampling = sampling
         self.prompt_bucket = prompt_bucket
         self.attn_impl = attn_impl
-        # static args: cfg/sp/attn_impl are closed over; shapes drive the cache
-        self._generate = jax.jit(
-            partial(
-                generate, cfg=cfg, sp=sampling, attn_impl=attn_impl
-            ),
-            static_argnames=(),
-        )
+        self.weight_quant = weight_quant
+
+        def _gen(params, rng, prompt_ids, prompt_mask):
+            dparams = None
+            if weight_quant == "int8":
+                from rlinf_tpu.models.llm.quant import quantize_params
+
+                dparams = quantize_params(params)
+            return generate(
+                params, cfg, rng, prompt_ids, prompt_mask, sampling,
+                attn_impl=attn_impl, decode_params=dparams,
+                decode_attn_impl=decode_attn_impl,
+            )
+
+        self._generate = jax.jit(_gen)
 
     def rollout(
         self,

@@ -150,11 +150,17 @@ def test_lora_reasoning_runner_learns():
         sampling=SamplingParams(
             max_new_tokens=8, temperature=1.0, eos_token_id=-1, pad_token_id=0
         ),
-        optimizer=OptimizerConfig(lr=2e-1, clip_grad=1.0),
+        optimizer=OptimizerConfig(lr=2e-2, clip_grad=1.0),
         loss=PolicyLossConfig(clip_ratio_low=0.2, clip_ratio_high=0.2),
         algorithm=AlgorithmConfig(adv_type="grpo", group_size=8),
         runner=RunnerConfig(rollout_batch_size=8, max_steps=30, seed=0),
-        lora=LoRAConfig(enabled=True, rank=4, alpha=16.0),
+        # lm_head in the target set (peft's optional lm_head target): the
+        # toy model is too small for rank-4 adapters on the trunk alone to
+        # move the output distribution in 30 steps.
+        lora=LoRAConfig(
+            enabled=True, rank=4, alpha=16.0,
+            targets=("wq", "wk", "wv", "wo", "gate", "up", "down", "lm_head"),
+        ),
     )
     ds = PromptDataset([PromptExample(f"q{i}:", "unused") for i in range(32)])
 
