@@ -40,18 +40,21 @@ def _kernel(
     # scalar prefetch
     starts_ref,     # [B] int32
     lengths_ref,    # [B] int32
+    gfirst_ref,     # [B // Rb] int32 (index-map only)
+    glast_ref,      # [B // Rb] int32 (index-map only)
     # blocks
-    q_ref,          # [1, Hp, KD] — row h*G+g holds head (h,g)'s q in lanes
+    q_ref,          # [Rb, Hp, KD] — row h*G+g holds head (h,g)'s q in lanes
                     #   [h*Hd, (h+1)*Hd), ZEROS elsewhere (see caller)
-    k_ref,          # [1, BLK, KD]
-    v_ref,          # [1, BLK, KD]
-    out_ref,        # [1, Hp, KD] — packed, caller slices each head's lanes
+    k_ref,          # [Rb, BLK, KD]
+    v_ref,          # [Rb, BLK, KD]
+    out_ref,        # [Rb, Hp, KD] — packed, caller slices each head's lanes
     # scratch (persist across the block grid dim)
-    acc_ref,        # [Hp, KD] f32
-    m_ref,          # [Hp, 128] f32 (col 0 used)
-    l_ref,          # [Hp, 128] f32
+    acc_ref,        # [Rb, Hp, KD] f32
+    m_ref,          # [Rb, Hp, 128] f32 (col 0 used)
+    l_ref,          # [Rb, Hp, 128] f32
     *,
     block_size: int,
+    block_rows: int,
     scale: float,
 ):
     """All matmuls keep the packed KD lane dim intact — no in-kernel head
@@ -59,12 +62,14 @@ def _kernel(
     each q row cancel the OTHER kv heads' contributions, so one [Hp, KD] x
     [KD, BLK] dot yields every head's scores. Accumulate: p @ v_block in
     packed form; each head's true output lives in its own lane band (the
-    cross-head bands hold junk the caller never reads)."""
-    b = pl.program_id(0)
+    cross-head bands hold junk the caller never reads).
+
+    ``block_rows`` batch rows share one program (unrolled row loop): fewer,
+    larger DMAs amortize per-program and per-DMA fixed costs — the single-
+    row variant measured ~43% of HBM peak on v5e, multi-row ~2x better."""
+    g = pl.program_id(0)
     j = pl.program_id(1)
     n_blocks = pl.num_programs(1)
-    start = starts_ref[b]
-    length = lengths_ref[b]
 
     @pl.when(j == 0)
     def _init():
@@ -72,41 +77,50 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # Block overlaps the valid interval [start, length)?
     lo = j * block_size
-    @pl.when((lo < length) & (lo + block_size > start))
-    def _block():
-        Hp = q_ref.shape[1]
-        q = q_ref[0].astype(jnp.float32)     # [Hp, KD]
-        k = k_ref[0].astype(jnp.float32)     # [BLK, KD]
-        v = v_ref[0].astype(jnp.float32)
+    for r in range(block_rows):
+        b = g * block_rows + r
+        start = starts_ref[b]
+        length = lengths_ref[b]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                            # [Hp, BLK]
-        pos = lo + jax.lax.broadcasted_iota(jnp.int32, (Hp, block_size), 1)
-        valid = (pos >= start) & (pos < length)
-        s = jnp.where(valid, s, NEG_INF)
+        # Block overlaps row b's valid interval [start, length)?
+        @pl.when((lo < length) & (lo + block_size > start))
+        def _block(r=r, start=start, length=length):
+            Hp = q_ref.shape[1]
+            q = q_ref[r].astype(jnp.float32)     # [Hp, KD]
+            k = k_ref[r].astype(jnp.float32)     # [BLK, KD]
+            v = v_ref[r].astype(jnp.float32)
 
-        m_prev = m_ref[:, :1]                # [Hp, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        # Explicit zero on invalid slots: when a whole block (or row) is
-        # masked, m_new == NEG_INF and exp(s - m_new) would be exp(0)=1.
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)   # [Hp, BLK]
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                    # [Hp, KD]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                            # [Hp, BLK]
+            pos = lo + jax.lax.broadcasted_iota(
+                jnp.int32, (Hp, block_size), 1
+            )
+            valid = (pos >= start) & (pos < length)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_prev = m_ref[r, :, :1]             # [Hp, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            # Explicit zero on invalid slots: when a whole block (or row)
+            # is masked, m_new == NEG_INF and exp(s-m_new) would be 1.
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)   # [Hp, BLK]
+            l_new = l_ref[r, :, :1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True
+            )
+            l_ref[r] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+            m_ref[r] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            acc_ref[r] = acc_ref[r] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                    # [Hp, KD]
 
     @pl.when(j == n_blocks - 1)
     def _finish():
-        out_ref[0] = (
-            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
+        out_ref[:] = (
+            acc_ref[:] / jnp.maximum(l_ref[:, :, :1], 1e-30)
         ).astype(out_ref.dtype)
 
 
@@ -120,6 +134,7 @@ def decode_attention_packed(
     num_kv: int,
     scale: Optional[float] = None,
     block_size: int = 256,
+    block_rows: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """-> [B, H, Hd] attention output in q.dtype."""
@@ -131,6 +146,8 @@ def decode_attention_packed(
         scale = Hd**-0.5
     block_size = min(block_size, S)
     n_blocks = pl.cdiv(S, block_size)
+    while B % block_rows:
+        block_rows //= 2
     Hp = max(8, H)  # sublane-pad the head dim
 
     # Pack q: row h*G+g carries head (h,g)'s vector in lanes [h*Hd,(h+1)*Hd),
@@ -145,41 +162,51 @@ def decode_attention_packed(
     if Hp > H:
         q_packed = jnp.pad(q_packed, ((0, 0), (0, Hp - H), (0, 0)))
 
-    def q_index(b, j, st, ln):
-        return (b, 0, 0)
+    # Per-GROUP valid block bounds (union over the group's rows), computed
+    # once outside so the index map is two scalar loads. Out-of-interval
+    # grid steps clamp to the previous block index; the repeated index
+    # makes Mosaic skip the DMA entirely.
+    starts_g = starts.astype(jnp.int32).reshape(-1, block_rows)
+    lengths_g = lengths.astype(jnp.int32).reshape(-1, block_rows)
+    gfirst = jnp.min(starts_g, axis=1) // block_size
+    glast = jnp.maximum(
+        (jnp.max(lengths_g, axis=1) + block_size - 1) // block_size - 1, 0
+    )
 
-    def kv_index(b, j, st, ln):
-        # Clamp out-of-interval blocks to the row's last valid block: the
-        # repeated index makes Mosaic skip the DMA entirely.
-        last = jnp.maximum(pl.cdiv(ln[b], block_size) - 1, 0)
-        first = st[b] // block_size
-        return (b, jnp.clip(j, first, last), 0)
+    def q_index(g, j, st, ln, gf, gl):
+        return (g, 0, 0)
 
-    def out_index(b, j, st, ln):
-        return (b, 0, 0)
+    def kv_index(g, j, st, ln, gf, gl):
+        return (g, jnp.clip(j, gf[g], gl[g]), 0)
+
+    def out_index(g, j, st, ln, gf, gl):
+        return (g, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, n_blocks),
+        num_scalar_prefetch=4,
+        grid=(B // block_rows, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, Hp, KD), q_index),
-            pl.BlockSpec((1, block_size, KD), kv_index),
-            pl.BlockSpec((1, block_size, KD), kv_index),
+            pl.BlockSpec((block_rows, Hp, KD), q_index),
+            pl.BlockSpec((block_rows, block_size, KD), kv_index),
+            pl.BlockSpec((block_rows, block_size, KD), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, Hp, KD), out_index),
+        out_specs=pl.BlockSpec((block_rows, Hp, KD), out_index),
         scratch_shapes=[
-            pltpu.VMEM((Hp, KD), jnp.float32),
-            pltpu.VMEM((Hp, 128), jnp.float32),
-            pltpu.VMEM((Hp, 128), jnp.float32),
+            pltpu.VMEM((block_rows, Hp, KD), jnp.float32),
+            pltpu.VMEM((block_rows, Hp, 128), jnp.float32),
+            pltpu.VMEM((block_rows, Hp, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_size=block_size, scale=scale),
+        functools.partial(
+            _kernel, block_size=block_size, block_rows=block_rows,
+            scale=scale,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hp, KD), q.dtype),
         interpret=interpret,
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
-      q_packed, k_cache, v_cache)
+      gfirst, glast, q_packed, k_cache, v_cache)
     # Extract each head's lane band: out[:, h*G+g, h*Hd:(h+1)*Hd].
     out = out[:, :H].reshape(B, num_kv, G, KD)
     out = jnp.stack(
