@@ -105,16 +105,29 @@ def main():
     train_tokens = B_train * T_train
 
     # ---------------- rollout phase ----------------
+    # Production serving config: int8 weight-only decode params + packed
+    # Pallas decode attention (quant.py documents the RL-correctness
+    # argument; the runner recomputes training logprobs on bf16 weights).
+    # Measured on v5e: int8+pallas 2.6 ms/step vs bf16+xla 4.3 ms/step at
+    # B=64, P=N=256.
+    from rlinf_tpu.models.llm import quantize_params
+
     params = state.params
+    qparams = quantize_params(params) if on_tpu else None
     sp = SamplingParams(max_new_tokens=N_gen, temperature=1.0, eos_token_id=-1)
-    gen = jax.jit(lambda p, rng, ids, mask: generate(p, cfg, rng, ids, mask, sp))
+    gen = jax.jit(
+        lambda p, qp, rng, ids, mask: generate(
+            p, cfg, rng, ids, mask, sp, decode_params=qp,
+            decode_attn_impl="pallas" if on_tpu else None,
+        )
+    )
     ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B_gen, P_gen)), jnp.int32)
     mask = jnp.ones((B_gen, P_gen), bool)
-    out = gen(params, rng, ids, mask)  # compile
+    out = gen(params, qparams, rng, ids, mask)  # compile
     _sync(out.response_ids)
     t0 = time.perf_counter()
     for _ in range(max(n_iters // 2, 1)):
-        out = gen(params, jax.random.fold_in(rng, 1), ids, mask)
+        out = gen(params, qparams, jax.random.fold_in(rng, 1), ids, mask)
     _sync(out.response_ids)
     gen_time = (time.perf_counter() - t0) / max(n_iters // 2, 1)
     gen_tokens = B_gen * N_gen

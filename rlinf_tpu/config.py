@@ -50,6 +50,32 @@ class RunnerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    """Rollout/serving engine selection (the reference's ``rollout`` YAML
+    group: rollout.backend sglang|vllm|hf + engine knobs,
+    reference rlinf/config.py:464).
+
+    engine:
+      auto        static under a mesh (sharded batch generation), continuous
+                  otherwise
+      static      one jitted generate() per (P, N) bucket — best for uniform
+                  lengths / sharded DP rollout
+      continuous  slot-pool continuous batching (SGLang analog) — best for
+                  mixed-length prompts, long-tail decode
+      paged       continuous + paged KV pool (HBM ∝ live tokens)
+    weight_quant: "auto" = int8 weight-only decode on TPU, none elsewhere.
+    """
+
+    engine: str = "auto"             # auto | static | continuous | paged
+    weight_quant: str = "auto"       # auto | none | int8
+    num_slots: int = 32              # continuous/paged slot-pool size
+    decode_chunk: int = 16           # decode steps per host round
+    prompt_bucket: int = 64
+    page_size: int = 16              # paged engine only
+    decode_attn_impl: Optional[str] = None   # None = pallas on TPU, xla off
+
+
+@dataclasses.dataclass(frozen=True)
 class DataConfig:
     train_path: Optional[str] = None
     max_prompt_len: int = 512
@@ -64,6 +90,7 @@ class TrainerConfig:
     loss: PolicyLossConfig = dataclasses.field(default_factory=PolicyLossConfig)
     algorithm: AlgorithmConfig = dataclasses.field(default_factory=AlgorithmConfig)
     runner: RunnerConfig = dataclasses.field(default_factory=RunnerConfig)
+    rollout: RolloutConfig = dataclasses.field(default_factory=RolloutConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     lora: LoRAConfig = dataclasses.field(default_factory=LoRAConfig)
@@ -79,6 +106,7 @@ _SECTION_TYPES = {
     "loss": PolicyLossConfig,
     "algorithm": AlgorithmConfig,
     "runner": RunnerConfig,
+    "rollout": RolloutConfig,
     "data": DataConfig,
     "mesh": MeshConfig,
     "lora": LoRAConfig,
@@ -164,3 +192,13 @@ def validate_config(cfg: TrainerConfig):
         raise ValueError("GRPO requires group_size >= 2")
     if cfg.sampling.max_new_tokens < 1:
         raise ValueError("max_new_tokens must be >= 1")
+    ro = cfg.rollout
+    if ro.engine not in ("auto", "static", "continuous", "paged"):
+        raise ValueError(f"unknown rollout.engine: {ro.engine!r}")
+    if ro.weight_quant not in ("auto", "none", "int8"):
+        raise ValueError(f"unknown rollout.weight_quant: {ro.weight_quant!r}")
+    if ro.engine == "paged" and ro.prompt_bucket % ro.page_size != 0:
+        raise ValueError(
+            f"rollout.prompt_bucket ({ro.prompt_bucket}) must be a multiple "
+            f"of rollout.page_size ({ro.page_size})"
+        )

@@ -5,23 +5,31 @@ rlinf/hybrid_engines/sglang — paged-KV serving with per-request scheduling;
 rollout worker loop at rollout/sglang/sglang_worker.py:409). On TPU, dynamic
 shapes are the enemy, so the engine keeps a FIXED pool of B slots:
 
-  * each slot owns a cache region, a write position, and a done flag;
-  * finished slots are refilled from the pending-prompt queue via a jitted
-    per-slot prefill (prompt lengths bucketed);
+  * each slot owns a PACKED cache row ([B, S_max, Kv*Hd] per layer — the
+    serving layout of models/llm/model.decode_step_packed, up to 16x less
+    HBM traffic than the tile-padded [B, S, K, D] layout);
+  * finished slots are refilled from the pending-prompt queue via a BATCHED
+    jitted prefill (refill rounds are decomposed into power-of-two groups so
+    each (R, P) shape compiles once);
   * decode runs K steps per host round inside one jitted ``lax.scan``
-    (amortizing dispatch), with per-slot ragged write positions
-    (models/llm/model.decode_step_ragged);
+    (amortizing dispatch) with per-slot ragged write positions, optionally
+    on int8 weight-only decode params (models/llm/quant.py — decode is
+    weight-bandwidth-bound, int8 halves it; measured 2.6 vs 4.3 ms/step on
+    v5e for the 0.5B at B=64);
   * sequences exceeding their budget or hitting EOS free their slot.
 
 Throughput win over the static batch engine: long-tail decode no longer
 holds the whole batch hostage — freed slots immediately serve new prompts.
+
+The slot pool + refill/decode/harvest core is shared by ``generate()``
+(batch rollout for RL) and rollout/server.GenerationServer (online serving,
+the reference's sglang_server analog).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +45,31 @@ from rlinf_tpu.models.llm.sampler import SamplingParams, sample_from_logits
 class _Slot:
     request_idx: int = -1         # which request occupies this slot (-1 free)
     prompt_len: int = 0
+    budget: int = 0               # max new tokens for this request
     tokens: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class _Pool:
+    """Device + host state for the slot pool."""
+
+    kv_layers: tuple                 # per-layer (k, v), each [B, S_max, KD]
+    lengths: jax.Array               # [B] int32 valid cache interval end
+    done: jax.Array                  # [B] bool
+    cur_tokens: jax.Array            # [B] int32 next input token per slot
+    slots: List[_Slot]
+
+    @property
+    def num_active(self) -> int:
+        return sum(1 for s in self.slots if s.request_idx >= 0)
+
+
+@dataclasses.dataclass
+class _Finished:
+    request_idx: int
+    tokens: List[int]
+    logprobs: List[float]
 
 
 class ContinuousBatchingEngine:
@@ -51,6 +82,9 @@ class ContinuousBatchingEngine:
         max_seq_len: Optional[int] = None,
         prompt_bucket: int = 64,
         decode_chunk: int = 16,
+        weight_quant: str = "none",
+        decode_attn_impl: Optional[str] = None,
+        attn_impl: str = "xla",
     ):
         self.cfg = cfg
         self.sampling = sampling
@@ -58,78 +92,228 @@ class ContinuousBatchingEngine:
         self.max_seq_len = max_seq_len or cfg.max_seq_len
         self.prompt_bucket = prompt_bucket
         self.decode_chunk = decode_chunk
+        self.weight_quant = weight_quant
+        self.decode_attn_impl = decode_attn_impl
+        self.attn_impl = attn_impl
 
-        self._prefill = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._refill = jax.jit(self._refill_impl, donate_argnums=(1,))
         self._decode = jax.jit(
-            self._decode_impl, donate_argnums=(1, 2, 3, 4), static_argnums=(7,)
+            self._decode_impl, donate_argnums=(1,), static_argnums=(6,)
         )
+        if weight_quant == "int8":
+            from rlinf_tpu.models.llm.quant import quantize_params
+
+            self._quantize = jax.jit(quantize_params)
+        else:
+            self._quantize = None
 
     # -- jitted internals ------------------------------------------------
-    def _prefill_impl(self, params, cache, kv_valid, slot, prompt_ids, prompt_mask):
-        """Prefill ONE slot: prompt [1, P] right-aligned? no — right-padded
-        prompt occupying cache [0, P); returns (cache, kv_valid, last_hidden)."""
+    def _refill_impl(
+        self, params, kv_layers, lengths, done, cur_tokens,
+        slot_ids, prompt_ids, prompt_mask, rng,
+    ):
+        """Prefill R prompts (right-padded [R, P], occupying cache [0, plen))
+        into rows ``slot_ids`` of the packed cache; sample each row's first
+        token. Junk KV in [plen, P) never enters a valid interval — decode
+        overwrites position ``lengths`` before extending the interval."""
+        R, P = prompt_ids.shape
         hidden, kv = M.forward_hidden(
             params, self.cfg, prompt_ids, attention_mask=prompt_mask,
-            return_kv=True,
+            return_kv=True, attn_impl=self.attn_impl,
         )
-        P_len = prompt_ids.shape[1]
-        # kv: [L, 1, P, K, D] -> write into cache[:, slot, :P]
-        k_new = jax.lax.dynamic_update_slice(
-            cache.k, kv.k, (0, slot, 0, 0, 0)
-        )
-        v_new = jax.lax.dynamic_update_slice(
-            cache.v, kv.v, (0, slot, 0, 0, 0)
-        )
-        row_valid = jnp.zeros((self.max_seq_len,), bool).at[:P_len].set(
-            prompt_mask[0]
-        )
-        kv_valid = kv_valid.at[slot].set(row_valid)
-        # last real token's hidden state (prompt is right-padded); logits
-        # computed INSIDE jit so the lm-head transpose isn't re-dispatched
-        # per refill
-        last = jnp.sum(prompt_mask[0].astype(jnp.int32)) - 1
-        w_lm = M.lm_head_weight(params, self.cfg)
-        logits = (hidden[0, last] @ w_lm).astype(jnp.float32)
-        return M.KVCache(k_new, v_new), kv_valid, logits
+        kd = self.cfg.kv_dim
+        new_layers = []
+        for i, (kc, vc) in enumerate(kv_layers):
+            kc = kc.at[slot_ids, :P].set(
+                kv.k[i].reshape(R, P, kd).astype(kc.dtype)
+            )
+            vc = vc.at[slot_ids, :P].set(
+                kv.v[i].reshape(R, P, kd).astype(vc.dtype)
+            )
+            new_layers.append((kc, vc))
+
+        plens = jnp.sum(prompt_mask.astype(jnp.int32), axis=-1)     # [R]
+        last = jnp.maximum(plens - 1, 0)
+        last_hidden = jnp.take_along_axis(
+            hidden, last[:, None, None], axis=1
+        )[:, 0]                                                     # [R, D]
+        logits = M.lm_head_logits(params, self.cfg, last_hidden)
+        tok, lp = sample_from_logits(rng, logits, self.sampling)
+
+        lengths = lengths.at[slot_ids].set(plens)
+        done = done.at[slot_ids].set(tok == self.sampling.eos_token_id)
+        cur_tokens = cur_tokens.at[slot_ids].set(tok)
+        return tuple(new_layers), lengths, done, cur_tokens, tok, lp
 
     def _decode_impl(
-        self, params, cache, kv_valid, write_pos, done, cur_tokens, rng, n_steps
+        self, dparams, kv_layers, lengths, done, cur_tokens, rng, n_steps
     ):
-        """K decode steps for all slots. Returns stacked tokens/logprobs."""
-        w_lm = M.lm_head_weight(params, self.cfg)
+        """K decode steps for all slots on the packed cache. Free slots
+        (done=True) decode junk that the host never harvests."""
+        B = self.num_slots
+        S = self.max_seq_len
+        starts = jnp.zeros((B,), jnp.int32)
 
         def step(carry, _):
-            cache, kv_valid, write_pos, done, tok, rng = carry
-            rows = jnp.arange(self.num_slots)
-            kv_valid = kv_valid.at[rows, write_pos].set(
-                kv_valid[rows, write_pos] | ~done
+            kv_layers, lengths, done, tok, rng = carry
+            write_pos = jnp.minimum(lengths, S - 1)
+            hidden, kv_layers = M.decode_step_packed(
+                dparams, self.cfg, tok, kv_layers, write_pos,
+                positions=write_pos, starts=starts, lengths=write_pos + 1,
+                attn_impl=self.decode_attn_impl,
             )
-            positions = jnp.sum(kv_valid.astype(jnp.int32), axis=-1) - 1
-            hidden, cache = M.decode_step_ragged(
-                params, self.cfg, tok, cache, write_pos, positions, kv_valid
-            )
-            logits = (hidden @ w_lm).astype(jnp.float32)
+            logits = M.lm_head_logits(dparams, self.cfg, hidden)
             rng, sub = jax.random.split(rng)
             new_tok, lp = sample_from_logits(sub, logits, self.sampling)
             new_done = done | (new_tok == self.sampling.eos_token_id)
             new_tok = jnp.where(done, self.sampling.pad_token_id, new_tok)
             lp = jnp.where(done, 0.0, lp)
-            # advance write position only for live slots (clamped)
-            new_write = jnp.where(
-                done, write_pos,
-                jnp.minimum(write_pos + 1, self.max_seq_len - 1),
+            new_lengths = jnp.where(
+                done, lengths, jnp.minimum(lengths + 1, S)
             )
-            carry = (cache, kv_valid, new_write, new_done, new_tok, rng)
+            carry = (kv_layers, new_lengths, new_done, new_tok, rng)
             return carry, (new_tok, lp, done)
 
-        carry = (cache, kv_valid, write_pos, done, cur_tokens, rng)
+        carry = (kv_layers, lengths, done, cur_tokens, rng)
         carry, (toks, lps, was_done) = jax.lax.scan(
             step, carry, None, length=n_steps
         )
-        cache, kv_valid, write_pos, done, cur_tokens, rng = carry
-        return cache, kv_valid, write_pos, done, cur_tokens, toks, lps, was_done
+        kv_layers, lengths, done, cur_tokens, rng = carry
+        return kv_layers, lengths, done, cur_tokens, toks, lps, was_done
 
-    # -- host engine loop ------------------------------------------------
+    # -- pool core (shared by generate() and GenerationServer) -----------
+    def init_pool(self) -> _Pool:
+        return _Pool(
+            kv_layers=M.init_kv_cache_packed(
+                self.cfg, self.num_slots, self.max_seq_len
+            ),
+            lengths=jnp.zeros((self.num_slots,), jnp.int32),
+            done=jnp.ones((self.num_slots,), bool),     # all free
+            cur_tokens=jnp.zeros((self.num_slots,), jnp.int32),
+            slots=[_Slot() for _ in range(self.num_slots)],
+        )
+
+    def prepare_params(self, params):
+        """Returns (prefill_params, decode_params): identical unless int8
+        weight-only decode quantization is enabled — re-quantizing fresh
+        learner params per rollout is the weight-sync analog of the
+        reference's per-step rollout reload (sgl_scheduler.py:141)."""
+        if self._quantize is not None:
+            return params, self._quantize(params)
+        return params, params
+
+    def trim_prompt(self, ids: Sequence[int], budget: int) -> List[int]:
+        keep = self.max_seq_len - budget
+        return list(ids)[-keep:] if keep > 0 else list(ids)[-1:]
+
+    def refill(
+        self,
+        pool: _Pool,
+        params,
+        entries: List[Tuple[int, Sequence[int], int]],
+        rng: jax.Array,
+    ) -> int:
+        """Assign free slots to ``entries`` [(request_idx, prompt_ids,
+        budget)]. Refills are grouped into power-of-two batches (longest
+        prompts first) so each (R, P) shape is a cached compile. Returns the
+        number of entries admitted (all of them, given enough free slots)."""
+        free = [s for s in range(self.num_slots)
+                if pool.slots[s].request_idx < 0]
+        entries = entries[: len(free)]
+        if not entries:
+            return 0
+        # longest-first keeps same-magnitude prompts in one bucket
+        order = sorted(
+            range(len(entries)), key=lambda i: -len(entries[i][1])
+        )
+        queue = [
+            (free[k], entries[i][0], self.trim_prompt(
+                entries[i][1], entries[i][2]), entries[i][2])
+            for k, i in enumerate(order)
+        ]
+        admitted = len(queue)
+        while queue:
+            r = 1
+            while r * 2 <= len(queue):
+                r *= 2
+            group, queue = queue[:r], queue[r:]
+            P = max(len(ids) for _, _, ids, _ in group)
+            P = ((P + self.prompt_bucket - 1) // self.prompt_bucket
+                 ) * self.prompt_bucket
+            prompt = np.zeros((r, P), np.int32)
+            mask = np.zeros((r, P), bool)
+            slot_ids = np.zeros((r,), np.int32)
+            for j, (s, _, ids, _) in enumerate(group):
+                prompt[j, : len(ids)] = ids
+                mask[j, : len(ids)] = True
+                slot_ids[j] = s
+            rng, sub = jax.random.split(rng)
+            (pool.kv_layers, pool.lengths, pool.done, pool.cur_tokens,
+             tok, lp) = self._refill(
+                params, pool.kv_layers, pool.lengths, pool.done,
+                pool.cur_tokens, jnp.asarray(slot_ids), jnp.asarray(prompt),
+                jnp.asarray(mask), sub,
+            )
+            tok_np = np.asarray(tok)
+            lp_np = np.asarray(lp)
+            for j, (s, req_idx, ids, budget) in enumerate(group):
+                pool.slots[s] = _Slot(
+                    request_idx=req_idx, prompt_len=len(ids), budget=budget,
+                    tokens=[int(tok_np[j])], logprobs=[float(lp_np[j])],
+                )
+        return admitted
+
+    def decode_and_harvest(
+        self, pool: _Pool, decode_params, rng: jax.Array
+    ) -> List[_Finished]:
+        """One K-step decode chunk + host-side harvest. Returns finished
+        requests; their slots are freed for the next refill round."""
+        sp = self.sampling
+        K = self.decode_chunk
+        (pool.kv_layers, pool.lengths, pool.done, pool.cur_tokens,
+         toks, lps, was_done) = self._decode(
+            decode_params, pool.kv_layers, pool.lengths, pool.done,
+            pool.cur_tokens, rng, K,
+        )
+        toks_np = np.asarray(toks)          # [K, B]
+        lps_np = np.asarray(lps)
+        was_done_np = np.asarray(was_done)  # done BEFORE each step
+        done_np = np.asarray(pool.done)
+
+        finished: List[_Finished] = []
+        free_mask = np.zeros((self.num_slots,), bool)
+        for s in range(self.num_slots):
+            sl = pool.slots[s]
+            if sl.request_idx < 0:
+                continue
+            for k in range(K):
+                if was_done_np[k, s] or len(sl.tokens) >= sl.budget:
+                    break
+                sl.tokens.append(int(toks_np[k, s]))
+                sl.logprobs.append(float(lps_np[k, s]))
+            if (
+                bool(done_np[s])
+                or len(sl.tokens) >= sl.budget
+                or sl.prompt_len + len(sl.tokens) >= self.max_seq_len
+            ):
+                tokens, lp_list = sl.tokens, sl.logprobs
+                if sp.eos_token_id in tokens:
+                    cut = tokens.index(sp.eos_token_id) + 1
+                    tokens, lp_list = tokens[:cut], lp_list[:cut]
+                finished.append(_Finished(
+                    sl.request_idx, tokens[: sl.budget], lp_list[: sl.budget]
+                ))
+                pool.slots[s] = _Slot()
+                free_mask[s] = True
+        if free_mask.any():
+            # freed slots must stop decoding (their lengths would keep
+            # growing into garbage): mark done, reset interval
+            fm = jnp.asarray(free_mask)
+            pool.done = pool.done | fm
+            pool.lengths = jnp.where(fm, 0, pool.lengths)
+        return finished
+
+    # -- batch rollout loop ----------------------------------------------
     def generate(
         self, params, request: RolloutRequest, rng: jax.Array
     ) -> RolloutResult:
@@ -138,99 +322,36 @@ class ContinuousBatchingEngine:
         pending = list(range(n_req))
         results_tokens: List[List[int]] = [[] for _ in range(n_req)]
         results_lps: List[List[float]] = [[] for _ in range(n_req)]
-        slots = [_Slot() for _ in range(self.num_slots)]
+        pparams, dparams = self.prepare_params(params)
+        pool = self.init_pool()
 
-        cache = M.init_kv_cache(self.cfg, self.num_slots, self.max_seq_len)
-        kv_valid = jnp.zeros((self.num_slots, self.max_seq_len), bool)
-        write_pos = jnp.zeros((self.num_slots,), jnp.int32)
-        done = jnp.ones((self.num_slots,), bool)  # all free initially
-        cur_tokens = jnp.zeros((self.num_slots,), jnp.int32)
-
-        def bucket(n):
-            return ((n + self.prompt_bucket - 1) // self.prompt_bucket) * self.prompt_bucket
-
-        active = 0
-        while pending or active > 0:
-            # 1. refill free slots
-            refill_hiddens = []
-            for s in range(self.num_slots):
-                if not pending:
-                    break
-                if slots[s].request_idx >= 0 or not bool(done[s]):
-                    continue
-                req = pending.pop(0)
-                ids = request.prompt_ids[req][- (self.max_seq_len - sp.max_new_tokens):]
-                P_len = bucket(len(ids))
-                prompt = np.zeros((1, P_len), np.int32)
-                mask = np.zeros((1, P_len), bool)
-                prompt[0, : len(ids)] = ids
-                mask[0, : len(ids)] = True
-                cache, kv_valid, logits = self._prefill(
-                    params, cache, kv_valid, s,
-                    jnp.asarray(prompt), jnp.asarray(mask),
-                )
+        n_done = 0
+        while n_done < n_req:
+            if pending:
+                entries = [
+                    (i, request.prompt_ids[i], sp.max_new_tokens)
+                    for i in pending[: self.num_slots]
+                ]
                 rng, sub = jax.random.split(rng)
-                tok, lp = sample_from_logits(sub, logits[None], sp)
-                tok_i, lp_i = int(tok[0]), float(lp[0])
-                slots[s] = _Slot(request_idx=req, prompt_len=len(ids),
-                                 tokens=[tok_i], logprobs=[lp_i])
-                write_pos = write_pos.at[s].set(len(ids))
-                done = done.at[s].set(
-                    tok_i == sp.eos_token_id or sp.max_new_tokens <= 1
-                )
-                cur_tokens = cur_tokens.at[s].set(tok_i)
-                active += 1
-
-            if active == 0:
+                admitted = self.refill(pool, pparams, entries, sub)
+                pending = pending[admitted:]
+            if pool.num_active == 0:
                 break
-
-            # 2. chunked decode
             rng, sub = jax.random.split(rng)
-            n_steps = self.decode_chunk
-            (cache, kv_valid, write_pos, done, cur_tokens,
-             toks, lps, was_done) = self._decode(
-                params, cache, kv_valid, write_pos, done, cur_tokens, sub,
-                n_steps,
-            )
-            toks_np = np.asarray(toks)          # [K, slots]
-            lps_np = np.asarray(lps)
-            was_done_np = np.asarray(was_done)  # done BEFORE each step
-            done_np = np.asarray(done)
-
-            # 3. harvest per slot
-            for s in range(self.num_slots):
-                sl = slots[s]
-                if sl.request_idx < 0:
-                    continue
-                for k in range(n_steps):
-                    if was_done_np[k, s]:
-                        break
-                    if len(sl.tokens) >= sp.max_new_tokens:
-                        break
-                    sl.tokens.append(int(toks_np[k, s]))
-                    sl.logprobs.append(float(lps_np[k, s]))
-                finished = (
-                    bool(done_np[s])
-                    or len(sl.tokens) >= sp.max_new_tokens
-                    or sl.prompt_len + len(sl.tokens) >= self.max_seq_len
-                )
-                if finished:
-                    # trim anything after eos
-                    tokens, lps_list = sl.tokens, sl.logprobs
-                    if sp.eos_token_id in tokens:
-                        cut = tokens.index(sp.eos_token_id) + 1
-                        tokens, lps_list = tokens[:cut], lps_list[:cut]
-                    results_tokens[sl.request_idx] = tokens[: sp.max_new_tokens]
-                    results_lps[sl.request_idx] = lps_list[: sp.max_new_tokens]
-                    slots[s] = _Slot()
-                    done = done.at[s].set(True)
-                    kv_valid = kv_valid.at[s].set(
-                        jnp.zeros((self.max_seq_len,), bool)
-                    )
-                    write_pos = write_pos.at[s].set(0)
-                    active -= 1
+            for fin in self.decode_and_harvest(pool, dparams, sub):
+                results_tokens[fin.request_idx] = fin.tokens
+                results_lps[fin.request_idx] = fin.logprobs
+                n_done += 1
 
         return self._pack_results(request, results_tokens, results_lps)
+
+    def rollout(
+        self, params, request: RolloutRequest, rng: jax.Array, *, mesh=None
+    ) -> RolloutResult:
+        """Runner-facing API (matches rollout.engine.RolloutEngine.rollout).
+        The slot pool is single-program; a mesh shards the model params, not
+        the slots."""
+        return self.generate(params, request, rng)
 
     def _pack_results(self, request, results_tokens, results_lps) -> RolloutResult:
         n = len(request.prompt_ids)

@@ -97,19 +97,12 @@ class GenerationServer:
     def _serve_loop(self):
         eng = self.engine
         sp = eng.sampling
-        import jax.numpy as jnp
 
-        slots = [_Slot() for _ in range(eng.num_slots)]
-        inflight: Dict[int, _Request] = {}       # slot -> request
-        cache = M.init_kv_cache(eng.cfg, eng.num_slots, eng.max_seq_len)
-        kv_valid = jnp.zeros((eng.num_slots, eng.max_seq_len), bool)
-        write_pos = jnp.zeros((eng.num_slots,), jnp.int32)
-        done = jnp.ones((eng.num_slots,), bool)
-        cur_tokens = jnp.zeros((eng.num_slots,), jnp.int32)
-
-        def bucket(n):
-            b = eng.prompt_bucket
-            return ((n + b - 1) // b) * b
+        pool = eng.init_pool()
+        inflight: Dict[int, _Request] = {}       # key -> request
+        next_key = 0
+        cached_params = None
+        prepared = None
 
         def req_budget(req: _Request) -> int:
             if req.max_new_tokens is None:
@@ -119,82 +112,41 @@ class GenerationServer:
         while not self._stop.is_set():
             with self._params_lock:
                 params = self._params
+            if params is not cached_params:
+                # weight swap between decode chunks (sync_hf_weight analog):
+                # re-quantize decode params once per new pytree
+                prepared = eng.prepare_params(params)
+                cached_params = params
+            pparams, dparams = prepared
 
-            # 1. refill free slots from the queue
-            refilled = False
-            for s in range(eng.num_slots):
-                if slots[s].request_idx >= 0:
-                    continue
+            # 1. refill free slots from the queue (batched prefill)
+            n_free = sum(
+                1 for s in pool.slots if s.request_idx < 0
+            )
+            entries = []
+            while len(entries) < n_free:
                 try:
                     req = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                ids = req.prompt_ids[-(eng.max_seq_len - sp.max_new_tokens):]
-                P_len = bucket(max(len(ids), 1))
-                prompt = np.zeros((1, P_len), np.int32)
-                mask = np.zeros((1, P_len), bool)
-                prompt[0, : len(ids)] = ids
-                mask[0, : len(ids)] = True
-                cache, kv_valid, logits = eng._prefill(
-                    params, cache, kv_valid, s,
-                    jnp.asarray(prompt), jnp.asarray(mask))
-                tok, lp = sample_from_logits(self._next_rng(), logits[None], sp)
-                tok_i, lp_i = int(tok[0]), float(lp[0])
-                slots[s] = _Slot(request_idx=s, prompt_len=len(ids),
-                                 tokens=[tok_i], logprobs=[lp_i])
-                inflight[s] = req
-                write_pos = write_pos.at[s].set(len(ids))
-                finished_now = (tok_i == sp.eos_token_id
-                                or req_budget(req) <= 1)
-                done = done.at[s].set(finished_now)
-                cur_tokens = cur_tokens.at[s].set(tok_i)
-                refilled = True
+                inflight[next_key] = req
+                entries.append((next_key, req.prompt_ids, req_budget(req)))
+                next_key += 1
+            if entries:
+                eng.refill(pool, pparams, entries, self._next_rng())
 
-            active = [s for s in range(eng.num_slots)
-                      if slots[s].request_idx >= 0]
-            if not active:
-                if not refilled:
+            if pool.num_active == 0:
+                if not entries:
                     self._stop.wait(self._idle_wait_s)
                 continue
 
-            # 2. chunked decode over the whole pool
-            (cache, kv_valid, write_pos, done, cur_tokens,
-             toks, lps, was_done) = eng._decode(
-                params, cache, kv_valid, write_pos, done, cur_tokens,
-                self._next_rng(), eng.decode_chunk)
-            toks_np = np.asarray(toks)
-            lps_np = np.asarray(lps)
-            was_done_np = np.asarray(was_done)
-            done_np = np.asarray(done)
-
-            # 3. harvest finished slots; resolve futures
-            for s in active:
-                sl = slots[s]
-                req = inflight[s]
-                budget = req_budget(req)
-                for k in range(eng.decode_chunk):
-                    if was_done_np[k, s] or len(sl.tokens) >= budget:
-                        break
-                    sl.tokens.append(int(toks_np[k, s]))
-                    sl.logprobs.append(float(lps_np[k, s]))
-                finished = (bool(done_np[s]) or len(sl.tokens) >= budget
-                            or sl.prompt_len + len(sl.tokens)
-                            >= eng.max_seq_len)
-                if finished:
-                    tokens, lp_list = sl.tokens, sl.logprobs
-                    if sp.eos_token_id in tokens:
-                        cut = tokens.index(sp.eos_token_id) + 1
-                        tokens, lp_list = tokens[:cut], lp_list[:cut]
-                    req.future.set_result(
-                        {"tokens": tokens[:budget],
-                         "logprobs": lp_list[:budget]})
-                    self.num_served += 1
-                    slots[s] = _Slot()
-                    del inflight[s]
-                    done = done.at[s].set(True)
-                    kv_valid = kv_valid.at[s].set(
-                        jnp.zeros((eng.max_seq_len,), bool))
-                    write_pos = write_pos.at[s].set(0)
+            # 2. chunked decode + harvest; resolve futures
+            for fin in eng.decode_and_harvest(pool, dparams, self._next_rng()):
+                req = inflight.pop(fin.request_idx)
+                req.future.set_result(
+                    {"tokens": fin.tokens, "logprobs": fin.logprobs}
+                )
+                self.num_served += 1
 
         # drain: fail any outstanding futures on stop
         for req in list(inflight.values()):

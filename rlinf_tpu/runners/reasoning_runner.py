@@ -30,7 +30,7 @@ from rlinf_tpu.config import TrainerConfig
 from rlinf_tpu.data.datasets import PromptDataset, StatefulBatchIterator
 from rlinf_tpu.data.io_struct import RolloutRequest, RolloutResult, build_train_batch
 from rlinf_tpu.models.llm import init_params, model as M
-from rlinf_tpu.rollout.engine import RolloutEngine
+from rlinf_tpu.rollout import build_rollout_engine
 from rlinf_tpu.training.learner import (
     make_actor_critic_train_step,
     make_logprob_fn,
@@ -61,9 +61,9 @@ class ReasoningRunner:
         self.timers = Timers()
         self.logger = MetricLogger(cfg.runner.log_dir)
 
-        self.engine = RolloutEngine(
-            cfg.model, cfg.sampling, attn_impl=cfg.attn_impl
-        )
+        # Engine choice per cfg.rollout (reference rollout.backend):
+        # continuous slot-pool batching by default, static under a mesh.
+        self.engine = build_rollout_engine(cfg, mesh=mesh)
         self.tx = make_optimizer(cfg.optimizer)
         self.with_critic = cfg.algorithm.adv_type == "gae"
         if self.with_critic:
