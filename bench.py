@@ -123,7 +123,14 @@ def main():
     )
     ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B_gen, P_gen)), jnp.int32)
     mask = jnp.ones((B_gen, P_gen), bool)
+    # Warm to steady state before timing: the first executions of a fresh
+    # executable run ~1.8x slower on the tunneled chip (measured ramp
+    # 1.20s -> 0.67s for identical calls); serving throughput is the
+    # steady-state number.
     out = gen(params, qparams, rng, ids, mask)  # compile
+    _sync(out.response_ids)
+    for w in range(3):
+        out = gen(params, qparams, jax.random.fold_in(rng, 100 + w), ids, mask)
     _sync(out.response_ids)
     t0 = time.perf_counter()
     for _ in range(max(n_iters // 2, 1)):

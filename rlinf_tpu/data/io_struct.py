@@ -63,6 +63,9 @@ class RolloutResult:
     response_logprobs: np.ndarray   # [B, N] fp32
     rewards: Optional[np.ndarray] = None       # [B] fp32
     answers: Optional[List[str]] = None
+    #: param version that produced this rollout (async/disaggregated policy
+    #: lag bookkeeping; reference env_worker.py:1087 versions)
+    version: int = 0
 
     @property
     def batch_size(self) -> int:

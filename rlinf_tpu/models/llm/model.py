@@ -239,7 +239,17 @@ def forward_hidden(
         x = params["embed"][input_ids].astype(cfg.compute_dtype)
     else:
         x = inputs_embeds.astype(cfg.compute_dtype)
-    x = shard_activation(x, P(Ax.BATCH, None, None))
+    if attn_impl == "ring":
+        # context parallelism: activations + positions sharded on sequence
+        # (reference Megatron CP + SP, SURVEY.md §5.7)
+        x = shard_activation(x, P(Ax.BATCH, Ax.CONTEXT, None))
+        positions = shard_activation(positions, P(Ax.BATCH, Ax.CONTEXT))
+        if attention_mask is not None:
+            attention_mask = shard_activation(
+                attention_mask, P(Ax.BATCH, Ax.CONTEXT)
+            )
+    else:
+        x = shard_activation(x, P(Ax.BATCH, None, None))
 
     block_fn = lambda x, layer: _block(
         cfg, x, layer, cos, sin, positions, attention_mask, attn_impl,

@@ -63,6 +63,26 @@ def causal_attention(
             kv_valid_mask=kv_valid_mask,
             scale=scale,
         )
+    if impl == "ring":
+        # Context parallelism: sequence sharded over the mesh CONTEXT axis,
+        # K/V blocks rotating via ppermute (reference Megatron CP,
+        # utils/initialize.py:237-243). Requires an ambient mesh
+        # (jax.set_mesh) whose context axis exists; size-1 context falls
+        # back to the XLA path below.
+        from rlinf_tpu.ops.ring_attention import ring_attention
+        from rlinf_tpu.parallel.mesh import AxisNames as Ax
+
+        mesh = jax.sharding.get_abstract_mesh()
+        if (
+            mesh is not None and not mesh.empty
+            and Ax.CONTEXT in mesh.shape and mesh.shape[Ax.CONTEXT] > 1
+        ):
+            return ring_attention(
+                q, k, v, mesh=mesh, axis=Ax.CONTEXT,
+                positions=positions_q, kv_valid_mask=kv_valid_mask,
+                scale=scale,
+            )
+        impl = "xla"
 
     B, Sq, H, D = q.shape
     Sk = k.shape[1]

@@ -190,7 +190,10 @@ class PatchWeightSyncer(WeightSyncer):
                 lambda leaf, sh: jax.device_put(self._convert(leaf), sh),
                 params, shardings,
             )
-            self._snapshot = jax.tree_util.tree_map(lambda x: x, params)
+            # COPY, not alias: callers (runners) donate params to the jitted
+            # train step, which deletes the original buffers — an aliased
+            # snapshot would die with them on the next sync.
+            self._snapshot = jax.tree_util.tree_map(jnp.copy, params)
             self.last_bytes_sent = sum(
                 l.nbytes for l in jax.tree_util.tree_leaves(params)
             )
@@ -207,7 +210,7 @@ class PatchWeightSyncer(WeightSyncer):
             if not jnp.issubdtype(new.dtype, jnp.floating) or not self.quantize:
                 bytes_sent += new.nbytes
                 moved = jax.device_put(self._convert(new), sh)
-                return moved, new
+                return moved, jnp.copy(new)  # see snapshot-aliasing note
             delta = new.astype(jnp.float32) - old.astype(jnp.float32)
             if self.compression == "topk":
                 values, idx = self._encode_topk(delta)

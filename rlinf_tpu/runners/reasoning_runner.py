@@ -334,6 +334,10 @@ class ReasoningRunner:
             return self._merge(self.base_params, self.state.params)
         return self.state.params
 
+    def _augment_batch(self, batch_dict, result):
+        """Hook for subclasses to add loss inputs (e.g. version stamps in
+        disaggregated/async mode) before the recompute + train phases."""
+
     def run_step(self) -> Dict[str, float]:
         with self.timers.scope("rollout"):
             result = self._rollout_phase(self._policy_params())
@@ -371,12 +375,19 @@ class ReasoningRunner:
             )
             batch_dict = self._put_batch(train_batch.to_dict())
 
+        self._augment_batch(batch_dict, result)
+
         # 3b. optional fp32 logprob recompute (reference run_inference)
         if self.logprob_fn is not None:
             lp, _ = self.logprob_fn(self._policy_params(), batch_dict)
-            batch_dict["old_logprobs"] = jnp.where(
-                batch_dict["loss_mask"], lp, 0.0
-            )
+            lp = jnp.where(batch_dict["loss_mask"], lp, 0.0)
+            if cfg.loss.loss_type == "decoupled":
+                # decoupled PPO: behavior logprobs (from the rollout engine)
+                # stay in old_logprobs; the recompute provides the PROXIMAL
+                # anchor (reference losses.py:27)
+                batch_dict["proximal_logprobs"] = lp
+            else:
+                batch_dict["old_logprobs"] = lp
 
         # 4. training -------------------------------------------------------
         B = train_batch.input_ids.shape[0]
