@@ -173,8 +173,33 @@ def load_config(
     return config_from_dict(data)
 
 
+_TASK_TYPES = ("reasoning", "embodied", "sft", "offline", "agent", "serving")
+_ADV_TYPES = ("grpo", "gae", "reinpp", "raw", "opd", "grpo_dynamic")
+_DTYPES = ("bfloat16", "float32", "float16")
+
+
 def validate_config(cfg: TrainerConfig):
-    """Cross-field checks (reference validate_cfg analog)."""
+    """Cross-field checks with actionable messages.
+
+    Reference analog: validate_cfg dispatcher + per-task validators
+    (reference rlinf/config.py:1357, :265-1301 — batch divisibility vs
+    DP x group_size, dtype derivation, placement consistency). Misconfig is
+    rejected at load time rather than burning pod-hours.
+    """
+    _validate_batching(cfg)
+    _validate_model(cfg)
+    _validate_mesh(cfg)
+    _validate_rollout(cfg)
+    task = cfg.runner.task_type
+    if task not in _TASK_TYPES:
+        raise ValueError(
+            f"runner.task_type {task!r} unknown; expected one of {_TASK_TYPES}"
+        )
+    if task == "reasoning":
+        _validate_reasoning(cfg)
+
+
+def _validate_batching(cfg: TrainerConfig):
     r, a = cfg.runner, cfg.algorithm
     total = r.rollout_batch_size * a.group_size
     if total % r.num_mini_batches != 0:
@@ -188,10 +213,103 @@ def validate_config(cfg: TrainerConfig):
             f"minibatch size ({mini}) not divisible by num_microbatches "
             f"({cfg.num_microbatches})"
         )
-    if a.adv_type == "grpo" and a.group_size < 2:
-        raise ValueError("GRPO requires group_size >= 2")
-    if cfg.sampling.max_new_tokens < 1:
-        raise ValueError("max_new_tokens must be >= 1")
+    if r.save_interval < 1:
+        raise ValueError("runner.save_interval must be >= 1")
+    if r.resume not in ("auto", "none"):
+        raise ValueError(f"runner.resume must be auto|none, got {r.resume!r}")
+
+
+def _validate_model(cfg: TrainerConfig):
+    m = cfg.model
+    if m.dtype not in _DTYPES:
+        raise ValueError(
+            f"model.dtype {m.dtype!r} unsupported; use one of {_DTYPES} "
+            "(bfloat16 is the TPU-native choice)"
+        )
+    if m.num_heads % m.num_kv_heads != 0:
+        raise ValueError(
+            f"model.num_heads ({m.num_heads}) must be a multiple of "
+            f"num_kv_heads ({m.num_kv_heads}) for GQA"
+        )
+    if m.is_moe:
+        if m.num_experts_per_token > m.num_experts:
+            raise ValueError(
+                f"model.num_experts_per_token ({m.num_experts_per_token}) "
+                f"exceeds num_experts ({m.num_experts})"
+            )
+        if m.moe_impl not in ("capacity", "dropless"):
+            raise ValueError(
+                f"model.moe_impl {m.moe_impl!r} unknown; use capacity|dropless"
+            )
+    s = cfg.sampling
+    if s.max_new_tokens < 1:
+        raise ValueError("sampling.max_new_tokens must be >= 1")
+    if not (s.temperature > 0):
+        raise ValueError(
+            f"sampling.temperature must be > 0 (got {s.temperature}); "
+            "use top_k=1 for greedy decoding"
+        )
+    if s.max_new_tokens >= m.max_seq_len:
+        raise ValueError(
+            f"sampling.max_new_tokens ({s.max_new_tokens}) >= "
+            f"model.max_seq_len ({m.max_seq_len}) leaves no room for the "
+            "prompt; raise max_seq_len or shorten generation"
+        )
+
+
+def _validate_mesh(cfg: TrainerConfig):
+    """Mesh-geometry vs model-shape consistency (the reference's
+    placement-vs-parallelism checks, rlinf/config.py:1252-1301)."""
+    me, m = cfg.mesh, cfg.model
+    sizes = dataclasses.asdict(me)
+    unknown = [k for k, v in sizes.items() if v == -1]
+    if len(unknown) > 1:
+        raise ValueError(
+            f"mesh: at most one axis may be -1 (absorb), got {unknown}"
+        )
+    for k, v in sizes.items():
+        if v != -1 and v < 1:
+            raise ValueError(f"mesh.{k} must be >= 1 or -1, got {v}")
+    tp = me.tensor if me.tensor != -1 else 1
+    if tp > 1:
+        for name, val in (("num_heads", m.num_heads),
+                          ("num_kv_heads", m.num_kv_heads)):
+            if val % tp != 0:
+                raise ValueError(
+                    f"model.{name} ({val}) not divisible by mesh.tensor "
+                    f"({tp}); pick a tensor-parallel size that divides the "
+                    "head counts"
+                )
+    cp = me.context if me.context != -1 else 1
+    if cp > 1 and m.max_seq_len % cp != 0:
+        raise ValueError(
+            f"model.max_seq_len ({m.max_seq_len}) not divisible by "
+            f"mesh.context ({cp}) — ring attention shards the sequence evenly"
+        )
+    ep = me.expert if me.expert != -1 else 1
+    if ep > 1:
+        if not m.is_moe:
+            raise ValueError(
+                "mesh.expert > 1 but model has no experts "
+                "(model.num_experts == 0); set mesh.expert=1"
+            )
+        if m.num_experts % ep != 0:
+            raise ValueError(
+                f"model.num_experts ({m.num_experts}) not divisible by "
+                f"mesh.expert ({ep})"
+            )
+    dp = me.data if me.data != -1 else 1
+    fsdp = me.fsdp if me.fsdp != -1 else 1
+    total = cfg.runner.rollout_batch_size * cfg.algorithm.group_size
+    if (dp * fsdp) > 1 and total % (dp * fsdp) != 0:
+        raise ValueError(
+            f"global batch rollout_batch_size*group_size ({total}) not "
+            f"divisible by data-parallel degree mesh.data*mesh.fsdp "
+            f"({dp * fsdp}); adjust runner.rollout_batch_size"
+        )
+
+
+def _validate_rollout(cfg: TrainerConfig):
     ro = cfg.rollout
     if ro.engine not in ("auto", "static", "continuous", "paged"):
         raise ValueError(f"unknown rollout.engine: {ro.engine!r}")
@@ -201,4 +319,25 @@ def validate_config(cfg: TrainerConfig):
         raise ValueError(
             f"rollout.prompt_bucket ({ro.prompt_bucket}) must be a multiple "
             f"of rollout.page_size ({ro.page_size})"
+        )
+    if ro.num_slots < 1 or ro.decode_chunk < 1:
+        raise ValueError("rollout.num_slots and rollout.decode_chunk must be >= 1")
+
+
+def _validate_reasoning(cfg: TrainerConfig):
+    a = cfg.algorithm
+    if a.adv_type not in _ADV_TYPES:
+        raise ValueError(
+            f"algorithm.adv_type {a.adv_type!r} unknown; one of {_ADV_TYPES}"
+        )
+    if a.adv_type in ("grpo", "grpo_dynamic") and a.group_size < 2:
+        raise ValueError(
+            "GRPO needs group_size >= 2 — the group baseline is undefined "
+            "for singleton groups"
+        )
+    if cfg.lora.enabled and a.adv_type == "gae":
+        raise ValueError(
+            "lora.enabled with algorithm.adv_type=gae is unsupported: the "
+            "critic path trains full params and would silently ignore the "
+            "LoRA adapters; use grpo/reinpp or disable LoRA"
         )

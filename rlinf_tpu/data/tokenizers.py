@@ -26,7 +26,9 @@ class ByteTokenizer:
         return [b + 2 for b in text.encode("utf-8")]
 
     def decode(self, ids: List[int]) -> str:
-        return bytes(i - 2 for i in ids if i >= 2).decode("utf-8", errors="replace")
+        return bytes(
+            i - 2 for i in ids if 2 <= i < 258  # ids past the byte range
+        ).decode("utf-8", errors="replace")  # (vocab padding) are skipped
 
 
 class HFTokenizer:

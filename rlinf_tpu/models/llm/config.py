@@ -35,6 +35,7 @@ class LLMConfig:
     num_experts_per_token: int = 2
     moe_capacity_factor: float = 1.5
     moe_aux_loss_coef: float = 0.01
+    moe_impl: str = "capacity"  # capacity (GShard einsum) | dropless (ragged)
 
     @property
     def head_dim_(self) -> int:
@@ -65,6 +66,7 @@ class LLMConfig:
             num_experts_per_token=self.num_experts_per_token,
             capacity_factor=self.moe_capacity_factor,
             aux_loss_coef=self.moe_aux_loss_coef,
+            impl=self.moe_impl,
         )
 
     def num_params(self) -> int:

@@ -32,6 +32,12 @@ class MoEConfig:
     num_experts_per_token: int = 2
     capacity_factor: float = 1.5
     aux_loss_coef: float = 0.01
+    #: "capacity" = GShard einsum dispatch (drops at capacity; SPMD-sharded
+    #: all-to-alls inserted by XLA when experts ride the ``expert`` axis).
+    #: "dropless" = sort-based ragged dispatch + grouped GEMM
+    #: (lax.ragged_dot) — zero token drops (MegaBlocks/FUSCO analog,
+    #: reference rlinf/hybrid_engines/megatron/token_dispatcher.py).
+    impl: str = "capacity"
 
 
 def init_moe_params(
@@ -59,7 +65,19 @@ def moe_layer(
     x: jax.Array,                 # [B, S, D]
     moe: MoEConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (output [B, S, D], aux_loss scalar)."""
+    """Dispatch on ``moe.impl``. Returns (output [B, S, D], aux_loss)."""
+    if moe.impl == "dropless":
+        out, aux, _ = moe_layer_dropless(params, x, moe)
+        return out, aux
+    return moe_layer_capacity(params, x, moe)
+
+
+def moe_layer_capacity(
+    params: Dict[str, jax.Array],
+    x: jax.Array,                 # [B, S, D]
+    moe: MoEConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """GShard capacity-einsum dispatch. Returns (output, aux_loss)."""
     B, S, D = x.shape
     E, C_k = moe.num_experts, moe.num_experts_per_token
     N = B * S
@@ -119,3 +137,87 @@ def moe_layer(
     ) / C_k
     aux_loss = moe.aux_loss_coef * E * jnp.sum(me * ce)
     return out, aux_loss
+
+# ---------------------------------------------------------------------------
+# Dropless path: sort-based ragged dispatch + grouped GEMM
+# ---------------------------------------------------------------------------
+
+def _route(params: Dict[str, jax.Array], tokens: jax.Array, moe: MoEConfig):
+    """fp32 router softmax + normalized top-k. tokens [N, D]."""
+    logits = jnp.einsum(
+        "nd,de->ne", tokens.astype(jnp.float32),
+        params["router"].astype(jnp.float32),
+    )
+    probs = jax.nn.softmax(logits, axis=-1)                     # [N, E]
+    topk_probs, topk_idx = jax.lax.top_k(probs, moe.num_experts_per_token)
+    topk_probs = topk_probs / jnp.maximum(
+        jnp.sum(topk_probs, axis=-1, keepdims=True), 1e-9
+    )
+    return probs, topk_probs, topk_idx
+
+
+def moe_layer_dropless(
+    params: Dict[str, jax.Array],
+    x: jax.Array,                 # [B, S, D]
+    moe: MoEConfig,
+) -> Tuple[jax.Array, jax.Array, Dict[str, jax.Array]]:
+    """Zero-drop MoE: stable-sort (token, choice) pairs by expert, run the
+    experts as grouped GEMMs over the contiguous groups (``lax.ragged_dot``
+    keeps the MXU busy with one ragged matmul instead of E masked ones),
+    scatter-add back. No capacity => no dropped tokens => ``overflow_frac``
+    is identically 0; load-imbalance metrics are still reported.
+
+    TPU-native analog of the reference's MegaBlocks-style dropless dispatch
+    (rlinf/hybrid_engines/megatron/token_dispatcher.py + FUSCO fused
+    all-to-all). Returns (out [B,S,D], aux_loss, metrics).
+    """
+    B, S, D = x.shape
+    E, K = moe.num_experts, moe.num_experts_per_token
+    N = B * S
+    tokens = x.reshape(N, D)
+
+    probs, topk_probs, topk_idx = _route(params, tokens, moe)
+
+    flat_expert = topk_idx.reshape(N * K)                       # token-major
+    order = jnp.argsort(flat_expert, stable=True)               # [NK]
+    token_of = order // K                                       # source token
+    xs = jnp.take(tokens, token_of, axis=0)                     # [NK, D]
+    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
+
+    g = jax.lax.ragged_dot(xs, params["gate"], group_sizes)
+    u = jax.lax.ragged_dot(xs, params["up"], group_sizes)
+    h = (jax.nn.silu(g.astype(jnp.float32)).astype(x.dtype) * u)
+    ys = jax.lax.ragged_dot(h, params["down"], group_sizes)     # [NK, D]
+
+    w = jnp.take(topk_probs.reshape(N * K), order).astype(x.dtype)
+    out = jnp.zeros((N, D), x.dtype).at[token_of].add(ys * w[:, None])
+
+    # Switch aux loss on true routed fractions (no capacity truncation).
+    me = jnp.mean(probs, axis=0)                                # [E]
+    ce = group_sizes.astype(jnp.float32) / float(N * K)
+    aux_loss = moe.aux_loss_coef * E * jnp.sum(me * ce) * K
+    load = group_sizes.astype(jnp.float32) * (E / float(N * K))
+    metrics = {
+        "moe_overflow_frac": jnp.zeros((), jnp.float32),
+        "moe_max_load": jnp.max(load),          # 1.0 == perfectly balanced
+        "moe_min_load": jnp.min(load),
+    }
+    return out.reshape(B, S, D), aux_loss, metrics
+
+
+def capacity_overflow_frac(
+    params: Dict[str, jax.Array], x: jax.Array, moe: MoEConfig
+) -> jax.Array:
+    """Fraction of (token, choice) routings dropped by the capacity einsum
+    path — the capacity-overflow metric the dropless path makes zero."""
+    B, S, _ = x.shape
+    N = B * S
+    E, K = moe.num_experts, moe.num_experts_per_token
+    tokens = x.reshape(N, -1)
+    _, _, topk_idx = _route(params, tokens, moe)
+    capacity = int(max(1, round(N * K / E * moe.capacity_factor)))
+    flat_expert = topk_idx.transpose(1, 0).reshape(N * K)
+    onehot = jax.nn.one_hot(flat_expert, E, dtype=jnp.float32)
+    position = (jnp.cumsum(onehot, axis=0) - onehot) * onehot
+    kept = jnp.sum(onehot * (position < capacity))
+    return 1.0 - kept / float(N * K)

@@ -240,6 +240,9 @@ class ContinuousBatchingEngine:
             P = max(len(ids) for _, _, ids, _ in group)
             P = ((P + self.prompt_bucket - 1) // self.prompt_bucket
                  ) * self.prompt_bucket
+            # Short-cache configs: the bucketed prefill width must never
+            # exceed the packed cache length (prompts are already trimmed).
+            P = min(P, self.max_seq_len)
             prompt = np.zeros((r, P), np.int32)
             mask = np.zeros((r, P), bool)
             slot_ids = np.zeros((r,), np.int32)

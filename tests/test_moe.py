@@ -132,3 +132,75 @@ def test_moe_generation_runs():
         SamplingParams(max_new_tokens=4, eos_token_id=-1),
     )
     assert out.response_ids.shape == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# Dropless (sort + ragged_dot) path
+# ---------------------------------------------------------------------------
+
+def test_dropless_matches_capacity_when_nothing_drops():
+    """With capacity ample enough that the einsum path drops nothing, the two
+    dispatch implementations are the same mathematical function."""
+    from rlinf_tpu.ops.moe import moe_layer_capacity, moe_layer_dropless
+
+    rng = jax.random.PRNGKey(0)
+    moe = _moe_cfg(capacity_factor=8.0)   # capacity >= N*k: zero drops
+    params = init_moe_params(rng, 16, 32, moe, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16), jnp.float32)
+    out_cap, _ = moe_layer_capacity(params, x, moe)
+    out_drop, _, metrics = moe_layer_dropless(params, x, moe)
+    np.testing.assert_allclose(
+        np.asarray(out_cap), np.asarray(out_drop), rtol=1e-5, atol=1e-5
+    )
+    assert float(metrics["moe_overflow_frac"]) == 0.0
+    assert float(metrics["moe_max_load"]) >= 1.0 >= float(metrics["moe_min_load"])
+
+
+def test_dropless_keeps_tokens_capacity_drops():
+    """Tight capacity: einsum path drops routings (overflow_frac > 0) while
+    the dropless output still routes every token."""
+    from rlinf_tpu.ops.moe import capacity_overflow_frac, moe_layer_dropless
+
+    rng = jax.random.PRNGKey(2)
+    moe = _moe_cfg(capacity_factor=0.25)
+    params = init_moe_params(rng, 16, 32, moe, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16), jnp.float32)
+    frac = float(capacity_overflow_frac(params, x, moe))
+    assert frac > 0.0
+    out, _, metrics = moe_layer_dropless(params, x, moe)
+    assert float(metrics["moe_overflow_frac"]) == 0.0
+    # every token got at least one expert's output (nonzero rows)
+    rows = np.abs(np.asarray(out)).reshape(-1, 16).sum(-1)
+    assert (rows > 0).all()
+
+
+def test_dropless_gradients_flow():
+    from rlinf_tpu.ops.moe import moe_layer_dropless
+
+    rng = jax.random.PRNGKey(0)
+    moe = _moe_cfg(impl="dropless")
+    params = init_moe_params(rng, 8, 16, moe, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8), jnp.float32)
+
+    def loss(p):
+        out, aux, _ = moe_layer_dropless(p, x, moe)
+        return jnp.sum(out ** 2) + aux
+
+    grads = jax.jit(jax.grad(loss))(params)
+    for name in ("router", "gate", "up", "down"):
+        g = np.asarray(grads[name])
+        assert np.isfinite(g).all()
+        assert np.abs(g).sum() > 0, name
+
+
+def test_model_forward_with_dropless_moe():
+    cfg = LLMConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32, num_layers=2,
+        num_heads=2, num_kv_heads=1, max_seq_len=32, dtype="float32",
+        num_experts=4, num_experts_per_token=2, moe_impl="dropless",
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 64)
+    logits = forward_logits(params, cfg, ids)
+    assert logits.shape == (2, 8, 64)
+    assert np.isfinite(np.asarray(logits)).all()
