@@ -92,7 +92,7 @@ def main():
             "rollout_batch_size": 128, "log_dir": args.log_dir + "/sft",
         },
         "data": {"max_prompt_len": 32},
-        "sampling": {"max_new_tokens": 8},
+        "sampling": {"max_new_tokens": 8, "eos_token_id": 1},
     })
     t0 = time.perf_counter()
     sft = SFTRunner(sft_cfg, tok, build_dataset(8192, seed=0))
@@ -112,7 +112,8 @@ def main():
             "rollout_batch_size": 24, "log_dir": args.log_dir + "/rl",
             "seed": 1,
         },
-        "sampling": {"max_new_tokens": 8, "temperature": 1.0},
+        "sampling": {"max_new_tokens": 8, "temperature": 1.0,
+                     "eos_token_id": 1},
         "data": {"max_prompt_len": 32},
     })
     runner = ReasoningRunner(

@@ -204,3 +204,42 @@ def test_model_forward_with_dropless_moe():
     logits = forward_logits(params, cfg, ids)
     assert logits.shape == (2, 8, 64)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dropless_ep_matches_unsharded(devices):
+    """8-way expert-parallel ragged_all_to_all dispatch == the single-shard
+    dropless path (same math, distributed execution)."""
+    from jax.sharding import Mesh
+    from rlinf_tpu.ops.moe import moe_layer_dropless, moe_layer_dropless_ep
+
+    mesh = Mesh(np.array(devices).reshape(8), ("expert",))
+    moe = MoEConfig(num_experts=8, num_experts_per_token=2)
+    rng = jax.random.PRNGKey(0)
+    params = init_moe_params(rng, 16, 32, moe, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 16), jnp.float32)
+
+    ref, aux_ref, _ = moe_layer_dropless(params, x, moe)
+    out, aux = moe_layer_dropless_ep(params, x, moe, mesh)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(float(aux_ref), float(aux), rtol=1e-5)
+
+
+def test_dropless_ep_grads_flow(devices):
+    from jax.sharding import Mesh
+    from rlinf_tpu.ops.moe import moe_layer_dropless_ep
+
+    mesh = Mesh(np.array(devices).reshape(8), ("expert",))
+    moe = MoEConfig(num_experts=8, num_experts_per_token=2)
+    params = init_moe_params(jax.random.PRNGKey(0), 8, 16, moe, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2, 8), jnp.float32)
+
+    def loss(p):
+        out, aux = moe_layer_dropless_ep(p, x, moe, mesh)
+        return jnp.sum(out ** 2) + aux
+
+    grads = jax.jit(jax.grad(loss))(params)
+    for name in ("router", "gate", "up", "down"):
+        g = np.asarray(grads[name])
+        assert np.isfinite(g).all() and np.abs(g).sum() > 0, name
