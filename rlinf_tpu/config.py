@@ -199,9 +199,17 @@ def validate_config(cfg: TrainerConfig):
         _validate_reasoning(cfg)
 
 
+def _effective_group_size(cfg: TrainerConfig) -> int:
+    """group_size is a reasoning/agent concept (GRPO response groups);
+    other task types never multiply their batch by it."""
+    if cfg.runner.task_type in ("reasoning", "agent"):
+        return cfg.algorithm.group_size
+    return 1
+
+
 def _validate_batching(cfg: TrainerConfig):
     r, a = cfg.runner, cfg.algorithm
-    total = r.rollout_batch_size * a.group_size
+    total = r.rollout_batch_size * _effective_group_size(cfg)
     if total % r.num_mini_batches != 0:
         raise ValueError(
             f"rollout_batch_size*group_size ({total}) must divide evenly into "
@@ -300,7 +308,10 @@ def _validate_mesh(cfg: TrainerConfig):
             )
     dp = me.data if me.data != -1 else 1
     fsdp = me.fsdp if me.fsdp != -1 else 1
-    total = cfg.runner.rollout_batch_size * cfg.algorithm.group_size
+    # group_size multiplies the batch only for reasoning tasks (GRPO groups);
+    # sft/embodied/offline batches are rollout_batch_size alone.
+    gs = _effective_group_size(cfg)
+    total = cfg.runner.rollout_batch_size * gs
     if (dp * fsdp) > 1 and total % (dp * fsdp) != 0:
         raise ValueError(
             f"global batch rollout_batch_size*group_size ({total}) not "

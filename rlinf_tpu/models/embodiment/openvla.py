@@ -59,12 +59,21 @@ class OpenVLAPolicy(Policy):
         cfg: OpenVLAConfig = OpenVLAConfig(),
         vlm_cfg: Optional[LLMConfig] = None,
         vit_cfg: Optional[ViTConfig] = None,
+        vit2_cfg: Optional[ViTConfig] = None,
     ):
+        """``vit2_cfg`` enables the fused dual-tower backbone (prismatic's
+        SigLIP+DINOv2 ``fused_featurizer``): both towers encode the image and
+        their features concatenate along channels before the projector."""
         self.cfg = cfg
         self.vlm_cfg = vlm_cfg or LLMConfig.tiny(vocab_size=512, max_seq_len=256)
         self.vit_cfg = vit_cfg or ViTConfig(
             image_size=32, patch_size=16, hidden=64, layers=1, heads=4
         )
+        self.vit2_cfg = vit2_cfg
+        if vit2_cfg is not None:
+            assert vit2_cfg.num_patches == self.vit_cfg.num_patches, (
+                "fused towers must produce the same patch grid"
+            )
         assert self.vlm_cfg.vocab_size > cfg.action_bins
         self.action_dim = cfg.action_dim
 
@@ -76,14 +85,16 @@ class OpenVLAPolicy(Policy):
     def init(self, rng: jax.Array) -> Dict:
         from rlinf_tpu.models.llm.model import init_params as init_llm
 
-        keys = jax.random.split(rng, 4)
-        return {
+        keys = jax.random.split(rng, 5)
+        feat = self.vit_cfg.hidden
+        if self.vit2_cfg is not None:
+            feat += self.vit2_cfg.hidden
+        params = {
             "vit": init_vit(self.vit_cfg, keys[0]),
             # prismatic projector is a 2-layer MLP
             "img_proj": _mlp_init(
                 keys[1],
-                (self.vit_cfg.hidden, self.vlm_cfg.hidden_size,
-                 self.vlm_cfg.hidden_size),
+                (feat, self.vlm_cfg.hidden_size, self.vlm_cfg.hidden_size),
                 scale_last=None,
             ),
             "vlm": init_llm(self.vlm_cfg, keys[2]),
@@ -91,12 +102,22 @@ class OpenVLAPolicy(Policy):
                 keys[3], (self.vlm_cfg.hidden_size, 1), scale_last=1.0
             ),
         }
+        if self.vit2_cfg is not None:
+            params["vit2"] = init_vit(self.vit2_cfg, keys[4])
+        return params
 
     # ------------------------------------------------------------------
     def _prefix(self, params, obs):
         """-> (embeds [B,Np,D], valid [B,Np])."""
         c = self.cfg
         img = vit_encode(params["vit"], self.vit_cfg, obs[c.image_key])
+        if self.vit_cfg.cls_token:
+            img = img[:, 1:]
+        if self.vit2_cfg is not None:
+            img2 = vit_encode(params["vit2"], self.vit2_cfg, obs[c.image_key])
+            if self.vit2_cfg.cls_token:
+                img2 = img2[:, 1:]
+            img = jnp.concatenate([img, img2], axis=-1)
         img = _mlp_apply(params["img_proj"], img, activation=jax.nn.gelu)
         B, Ni = img.shape[:2]
         toks, valid = [img], [jnp.ones((B, Ni), bool)]

@@ -25,6 +25,10 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+#: Test hook: None = auto (ragged collective off-CPU, emulation on CPU);
+#: True/False pins the expert-parallel exchange branch.
+FORCE_RAGGED: Optional[bool] = None
+
 
 @dataclasses.dataclass(frozen=True)
 class MoEConfig:
@@ -193,9 +197,11 @@ def moe_layer_dropless(
     out = jnp.zeros((N, D), x.dtype).at[token_of].add(ys * w[:, None])
 
     # Switch aux loss on true routed fractions (no capacity truncation).
+    # ce normalizes counts by N*K — the same /topk convention as the
+    # capacity path's ce, so switching moe_impl keeps the loss scale.
     me = jnp.mean(probs, axis=0)                                # [E]
     ce = group_sizes.astype(jnp.float32) / float(N * K)
-    aux_loss = moe.aux_loss_coef * E * jnp.sum(me * ce) * K
+    aux_loss = moe.aux_loss_coef * E * jnp.sum(me * ce)
     load = group_sizes.astype(jnp.float32) * (E / float(N * K))
     metrics = {
         "moe_overflow_frac": jnp.zeros((), jnp.float32),
@@ -256,8 +262,14 @@ def moe_layer_dropless_ep(
     B, S, D = x.shape
     assert B % ep == 0, f"batch {B} not divisible by mesh.{axis}={ep}"
     # XLA:CPU has no ragged-all-to-all thunk; the all_gather emulation keeps
-    # the routing math identical so the virtual-mesh tests cover it.
-    use_ragged = jax.default_backend() == "tpu"
+    # the routing math identical so the virtual-mesh tests cover it. The
+    # fallback all-gathers the full buffer (O(ep^2 * M) comm) — it exists
+    # for CPU tests only; non-CPU backends take the ragged collective.
+    # ``FORCE_RAGGED`` lets tests pin either branch explicitly.
+    if FORCE_RAGGED is not None:
+        use_ragged = FORCE_RAGGED
+    else:
+        use_ragged = jax.default_backend() != "cpu"
 
     def exchange(operand, out_buf, G, me):
         """Send rows of ``operand`` per size-matrix ``G`` (G[i,j] = rows
@@ -338,7 +350,7 @@ def moe_layer_dropless_ep(
         n_total = n * ep
         me_g = jax.lax.psum(jnp.sum(probs, axis=0), axis) / n_total
         ce_g = jax.lax.psum(counts, axis).astype(jnp.float32) / (n_total * K)
-        aux = moe.aux_loss_coef * E * jnp.sum(me_g * ce_g) * K
+        aux = moe.aux_loss_coef * E * jnp.sum(me_g * ce_g)
         return out.reshape(b, s, D), aux
 
     fn = shard_map(

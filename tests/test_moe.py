@@ -147,10 +147,14 @@ def test_dropless_matches_capacity_when_nothing_drops():
     moe = _moe_cfg(capacity_factor=8.0)   # capacity >= N*k: zero drops
     params = init_moe_params(rng, 16, 32, moe, jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16), jnp.float32)
-    out_cap, _ = moe_layer_capacity(params, x, moe)
-    out_drop, _, metrics = moe_layer_dropless(params, x, moe)
+    out_cap, aux_cap = moe_layer_capacity(params, x, moe)
+    out_drop, aux_drop, metrics = moe_layer_dropless(params, x, moe)
     np.testing.assert_allclose(
         np.asarray(out_cap), np.asarray(out_drop), rtol=1e-5, atol=1e-5
+    )
+    # Same /topk normalization convention: identical routing => identical aux.
+    np.testing.assert_allclose(
+        float(aux_cap), float(aux_drop), rtol=1e-5, atol=1e-7
     )
     assert float(metrics["moe_overflow_frac"]) == 0.0
     assert float(metrics["moe_max_load"]) >= 1.0 >= float(metrics["moe_min_load"])
