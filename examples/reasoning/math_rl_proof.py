@@ -121,7 +121,18 @@ def main():
         init_params_override=lambda rng: sft_params,
     )
     t0 = time.perf_counter()
-    history = runner.run()
+    first_metrics = runner.run_step()
+    # Tripwire (VERDICT round-2): step-1 approx_kl >> 0 means the behavior
+    # policy the engine reports is not the policy the learner computes —
+    # a broken decode path, not a tuning problem. Fail loudly, never train on.
+    kl0 = abs(first_metrics.get("actor/approx_kl", 0.0))
+    if kl0 > 0.1:
+        raise SystemExit(
+            f"FATAL: step-1 actor/approx_kl={kl0:.4f} > 0.1 — rollout and "
+            "training disagree about the policy's logprobs. Check "
+            "rollout.decode_attn_impl / weight_quant vs the training path."
+        )
+    history = [first_metrics] + runner.run()
     dt = time.perf_counter() - t0
 
     rewards = [h["rollout/reward_mean"] for h in history]

@@ -29,7 +29,15 @@ class AlgorithmConfig:
     loss_type: str = "actor"            # registry name
     group_size: int = 8
     normalize_advantages: bool = True
-    recompute_logprobs: bool = False    # use fp32 recompute as old_logprobs
+    #: fp32 recompute of old_logprobs on the TRAINING path. None = auto:
+    #: enabled whenever the rollout decode path differs from the training
+    #: path (int8 weight quant, pallas decode kernel) — feeding behavior
+    #: logprobs from a *different* computation into a plain PPO ratio as if
+    #: on-policy is biased (the reference separates behavior vs proximal in
+    #: losses.py:27; its runner recomputes via run_inference). Explicit
+    #: False keeps engine logprobs (only sound when the paths match or the
+    #: loss is decoupled).
+    recompute_logprobs: Optional[bool] = None
     use_ref_logprobs: bool = False      # KL vs frozen reference policy
     gamma: float = 1.0
     gae_lambda: float = 1.0

@@ -8,7 +8,46 @@ JAX programs on the mesh instead of embedded CUDA serving engines.
 
 from rlinf_tpu.rollout.engine import RolloutEngine
 
-__all__ = ["RolloutEngine", "build_rollout_engine"]
+__all__ = [
+    "RolloutEngine",
+    "build_rollout_engine",
+    "resolve_rollout_paths",
+    "resolve_recompute_logprobs",
+]
+
+
+def resolve_rollout_paths(cfg, mesh=None):
+    """Resolve the ``auto`` knobs: -> (engine, weight_quant, decode_attn)."""
+    import jax
+
+    ro = cfg.rollout
+    on_tpu = jax.default_backend() == "tpu"
+    engine = ro.engine
+    if engine == "auto":
+        engine = "static" if mesh is not None else "continuous"
+    quant = ro.weight_quant
+    if quant == "auto":
+        quant = "int8" if on_tpu else "none"
+    decode_attn = ro.decode_attn_impl or ("pallas" if on_tpu else "xla")
+    return engine, quant, decode_attn
+
+
+def resolve_recompute_logprobs(cfg, mesh=None) -> bool:
+    """The rollout/training logprob-consistency invariant.
+
+    ``algorithm.recompute_logprobs=None`` (the default) resolves to True
+    whenever the rollout decode path is a *different computation* from the
+    training path — int8-quantized decode weights or the pallas decode
+    kernel — so engine-reported behavior logprobs are never silently fed
+    into a plain PPO ratio as if on-policy (reference semantics: behavior
+    vs proximal separation, rlinf/algorithms/losses.py:27; the reference
+    runner's run_inference recompute phase, runners/reasoning_runner.py:1173).
+    """
+    explicit = cfg.algorithm.recompute_logprobs
+    if explicit is not None:
+        return bool(explicit)
+    _, quant, decode_attn = resolve_rollout_paths(cfg, mesh=mesh)
+    return quant != "none" or decode_attn != cfg.attn_impl
 
 
 def build_rollout_engine(cfg, mesh=None):

@@ -28,6 +28,7 @@ from rlinf_tpu.training.train_state import create_train_state, make_optimizer
 from rlinf_tpu.utils.checkpoint import CheckpointManager
 from rlinf_tpu.utils.metrics import MetricLogger
 from rlinf_tpu.utils.timers import Timers
+from rlinf_tpu.utils.sync import host_sync
 
 
 class AgentRunner:
@@ -115,7 +116,7 @@ class AgentRunner:
         batch_dict = {k: jnp.asarray(v) for k, v in batch.to_dict().items()}
         with self.timers.scope("training"):
             self.state, metrics = self.train_step(self.state, batch_dict)
-            jax.block_until_ready(metrics)
+            host_sync(metrics)
 
         self.global_step += 1
         out = {k: float(np.asarray(v)) for k, v in metrics.items()}

@@ -35,6 +35,7 @@ from rlinf_tpu.training.train_state import (
 from rlinf_tpu.utils.checkpoint import CheckpointManager
 from rlinf_tpu.utils.metrics import MetricLogger
 from rlinf_tpu.utils.timers import Timers
+from rlinf_tpu.utils.sync import host_sync
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +162,7 @@ class EmbodiedRunner:
                 for idx in np.split(perm, cfg.num_mini_batches):
                     mb = {k: v[jnp.asarray(idx)] for k, v in batch.items()}
                     self.state, metrics = self.train_step(self.state, mb)
-            jax.block_until_ready(metrics)
+            host_sync(metrics)
 
         # 4. metrics -------------------------------------------------------
         self.global_step += 1

@@ -25,6 +25,7 @@ from rlinf_tpu.training.train_state import (
 )
 from rlinf_tpu.utils.checkpoint import CheckpointManager
 from rlinf_tpu.utils.metrics import MetricLogger
+from rlinf_tpu.utils.sync import host_sync
 
 
 class EmbodiedSFTRunner:
@@ -81,7 +82,7 @@ class EmbodiedSFTRunner:
         batch = self._build_batch()
         self._rng, sub = jax.random.split(self._rng)
         self.state, metrics = self.train_step(self.state, batch, sub)
-        jax.block_until_ready(metrics)
+        host_sync(metrics)
         self.global_step += 1
         out = {k: float(np.asarray(v)) for k, v in metrics.items()}
         out["time/step"] = time.perf_counter() - t0

@@ -41,6 +41,7 @@ from rlinf_tpu.training.train_state import TrainState, create_train_state, make_
 from rlinf_tpu.utils.checkpoint import CheckpointManager
 from rlinf_tpu.utils.metrics import MetricLogger, rollout_metrics
 from rlinf_tpu.utils.timers import Timers
+from rlinf_tpu.utils.sync import host_sync
 
 
 class ReasoningRunner:
@@ -110,6 +111,13 @@ class ReasoningRunner:
                     remat=cfg.remat, attn_impl=cfg.attn_impl,
                 )
             )
+        # Logprob-consistency invariant: auto-enable the fp32 recompute when
+        # the rollout decode path differs from the training path (int8 quant
+        # / pallas decode) so PPO ratios are anchored to the training-path
+        # policy — step-1 approx_kl ≈ 0 by construction.
+        from rlinf_tpu.rollout import resolve_recompute_logprobs
+
+        self.recompute_logprobs = resolve_recompute_logprobs(cfg, mesh=mesh)
         self.logprob_fn = (
             make_logprob_fn(
                 cfg.model,
@@ -117,7 +125,7 @@ class ReasoningRunner:
                 attn_impl=cfg.attn_impl,
                 temperature=cfg.sampling.temperature,
             )
-            if cfg.algorithm.recompute_logprobs
+            if self.recompute_logprobs
             else None
         )
 
@@ -411,7 +419,7 @@ class ReasoningRunner:
                             for k, v in batch_dict.items()
                         }
                         self.state, metrics = self.train_step(self.state, mb)
-            jax.block_until_ready(metrics)
+            host_sync(metrics)
 
         # 5. metrics / checkpoint ------------------------------------------
         self.global_step += 1

@@ -21,6 +21,7 @@ from rlinf_tpu.training.sft import make_sft_train_step
 from rlinf_tpu.training.train_state import create_train_state, make_optimizer
 from rlinf_tpu.utils.checkpoint import CheckpointManager
 from rlinf_tpu.utils.metrics import MetricLogger
+from rlinf_tpu.utils.sync import host_sync
 
 
 def _round_up(x, m):
@@ -106,7 +107,7 @@ class SFTRunner:
         t0 = time.perf_counter()
         batch = self._build_batch(self.iterator.next_batch())
         self.state, metrics = self.train_step(self.state, batch)
-        jax.block_until_ready(metrics)
+        host_sync(metrics)
         self.global_step += 1
         out = {k: float(np.asarray(v)) for k, v in metrics.items()}
         out["time/step"] = time.perf_counter() - t0

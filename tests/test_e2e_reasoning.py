@@ -78,6 +78,14 @@ def test_runner_metrics_and_masks(toy_dataset):
     ]:
         assert key in out, f"missing metric {key}"
     assert out["rollout/response_len_mean"] == 8.0  # no eos => full length
+    # Logprob-consistency invariant (VERDICT round-2): at step 1 the PPO
+    # ratio anchor must BE the rollout policy — approx_kl ≈ 0. A violation
+    # means the engine's behavior logprobs came from a different computation
+    # than the training path and weren't recomputed.
+    assert abs(out["actor/approx_kl"]) < 1e-3, (
+        f"step-1 approx_kl {out['actor/approx_kl']} — rollout/training "
+        "logprob paths disagree"
+    )
 
 
 def test_checkpoint_resume(tmp_path, toy_dataset):
