@@ -38,6 +38,14 @@ class AlgorithmConfig:
     #: False keeps engine logprobs (only sound when the paths match or the
     #: loss is decoupled).
     recompute_logprobs: Optional[bool] = None
+    #: gae only: "shared" = value head on the actor trunk; "separate" = the
+    #: critic is its own model + optimizer (reference MegatronCritic,
+    #: rlinf/workers/critic/megatron_critic_worker.py)
+    critic: str = "shared"
+    #: separate critic: critic-only steps before the first actor update
+    critic_warmup_steps: int = 0
+    #: separate critic: optimizer lr override (None = actor lr)
+    critic_lr: Optional[float] = None
     use_ref_logprobs: bool = False      # KL vs frozen reference policy
     gamma: float = 1.0
     gae_lambda: float = 1.0
@@ -348,6 +356,15 @@ def _validate_reasoning(cfg: TrainerConfig):
     if a.adv_type not in _ADV_TYPES:
         raise ValueError(
             f"algorithm.adv_type {a.adv_type!r} unknown; one of {_ADV_TYPES}"
+        )
+    if a.critic not in ("shared", "separate"):
+        raise ValueError(
+            f"algorithm.critic must be shared|separate, got {a.critic!r}"
+        )
+    if a.critic == "separate" and a.adv_type != "gae":
+        raise ValueError(
+            "algorithm.critic='separate' requires adv_type='gae' — only the "
+            "GAE path consumes a learned critic"
         )
     if a.adv_type in ("grpo", "grpo_dynamic") and a.group_size < 2:
         raise ValueError(

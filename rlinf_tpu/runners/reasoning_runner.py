@@ -67,7 +67,57 @@ class ReasoningRunner:
         self.engine = build_rollout_engine(cfg, mesh=mesh)
         self.tx = make_optimizer(cfg.optimizer)
         self.with_critic = cfg.algorithm.adv_type == "gae"
-        if self.with_critic:
+        self.separate_critic = (
+            self.with_critic and cfg.algorithm.critic == "separate"
+        )
+        self.critic_state = None
+        if self.separate_critic:
+            # First-class PPO: the critic is its own model + optimizer +
+            # warmup schedule (reference MegatronCritic,
+            # rlinf/workers/critic/megatron_critic_worker.py). The actor
+            # trains with the plain policy step; GAE consumes the separate
+            # critic's values.
+            from rlinf_tpu.training.critic import (
+                CriticConfig, init_critic_params, make_critic_train_step,
+                make_critic_value_fn,
+            )
+
+            self.critic_cfg = CriticConfig(
+                warmup_steps=cfg.algorithm.critic_warmup_steps,
+                lr=cfg.algorithm.critic_lr,
+            )
+            opt = cfg.optimizer
+            if self.critic_cfg.lr is not None:
+                opt = dataclasses.replace(opt, lr=self.critic_cfg.lr)
+            self.critic_tx = make_optimizer(opt)
+            self.critic_step = make_critic_train_step(
+                cfg.model, self.critic_cfg, self.critic_tx,
+                remat=cfg.remat, attn_impl=cfg.attn_impl, mesh=mesh,
+            )
+            from rlinf_tpu.models.llm.value_head import value_partition_rules
+
+            self.critic_state = create_train_state(
+                lambda rng: init_critic_params(cfg.model, rng),
+                self.critic_tx,
+                jax.random.PRNGKey(cfg.runner.seed + 104729),
+                mesh=mesh,
+                partition_rules=(
+                    value_partition_rules() + M.partition_rules()
+                    if mesh else None
+                ),
+            )
+            self._raw_value_fn = make_critic_value_fn(
+                cfg.model, attn_impl=cfg.attn_impl
+            )
+            self._value_fn = lambda _actor_params, ids, mask: (
+                self._raw_value_fn(self.critic_state.params, ids, mask)
+            )
+            self.train_step = make_policy_train_step(
+                cfg.model, cfg.loss, self.tx,
+                num_microbatches=cfg.num_microbatches,
+                remat=cfg.remat, attn_impl=cfg.attn_impl, mesh=mesh,
+            )
+        elif self.with_critic:
             # PPO with a learned critic (value head on the shared trunk) —
             # the reference's MegatronCritic path (critic worker + GAE).
             self.train_step = make_actor_critic_train_step(
@@ -132,13 +182,15 @@ class ReasoningRunner:
         base_init = init_params_override or (
             lambda rng: init_params(cfg.model, rng)
         )
-        if self.with_critic:
+        if self.with_critic and not self.separate_critic:
             from rlinf_tpu.models.llm.value_head import add_value_head
 
             init_fn = lambda rng: add_value_head(
                 base_init(rng), cfg.model, jax.random.fold_in(rng, 7)
             )
         else:
+            # separate critic: the actor trunk carries no value head — the
+            # critic owns its own trunk (self.critic_state)
             init_fn = base_init
         rng = jax.random.PRNGKey(cfg.runner.seed)
         self._rng, init_rng = jax.random.split(rng)
@@ -180,6 +232,11 @@ class ReasoningRunner:
             if cfg.runner.checkpoint_dir
             else None
         )
+        self.critic_ckpt = (
+            CheckpointManager(cfg.runner.checkpoint_dir + "_critic")
+            if cfg.runner.checkpoint_dir and self.separate_critic
+            else None
+        )
         self.global_step = 0
         if self.ckpt and cfg.runner.resume == "auto":
             state, extra, step = self.ckpt.restore(self.state)
@@ -188,6 +245,12 @@ class ReasoningRunner:
                 self.global_step = step
                 if extra and "dataloader" in extra:
                     self.iterator.load_state_dict(extra["dataloader"])
+                if self.critic_ckpt is not None:
+                    cstate, _, _ = self.critic_ckpt.restore(
+                        self.critic_state, step=step
+                    )
+                    if cstate is not None:
+                        self.critic_state = cstate
 
     # ------------------------------------------------------------------
     def rescale(self, new_mesh: jax.sharding.Mesh):
@@ -413,6 +476,24 @@ class ReasoningRunner:
                         metrics = self._dynamic_minibatch_update(
                             batch_dict, train_batch, mb_idx
                         )
+                    elif self.separate_critic:
+                        mb = {
+                            k: v[jnp.asarray(mb_idx)]
+                            for k, v in batch_dict.items()
+                        }
+                        self.critic_state, cmetrics = self.critic_step(
+                            self.critic_state, mb
+                        )
+                        warm = cfg.algorithm.critic_warmup_steps
+                        if self.global_step >= warm:
+                            self.state, metrics = self.train_step(
+                                self.state, mb
+                            )
+                        else:
+                            # critic warmup: no actor update yet (reference
+                            # critic_warmup semantics)
+                            metrics = {"actor/warmup_skipped": jnp.float32(1)}
+                        metrics = {**metrics, **cmetrics}
                     else:
                         mb = {
                             k: v[jnp.asarray(mb_idx)]
@@ -457,6 +538,8 @@ class ReasoningRunner:
                 self.state,
                 extra={"dataloader": self.iterator.state_dict()},
             )
+            if self.critic_ckpt is not None:
+                self.critic_ckpt.save(self.global_step, self.critic_state)
         return out
 
     def _rollout_phase(self, params):
