@@ -17,6 +17,7 @@ Keep this file runnable in < ~10 min including compiles.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -65,6 +66,33 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     chip = F.ChipSpec.v5e()
+
+    # ---------------- on-chip parity gate ----------------
+    # Perf numbers for a configuration that computes the wrong thing are
+    # meaningless (round-2 lesson: the 0.59x SOL headline was measured
+    # through a miscompiled decode path). Gate the kernels used below in
+    # their jitted contexts; refuse to report on failure.
+    # RLINF_BENCH_PARITY=off skips (development only), =full adds the
+    # engine-level checks (slow: several extra engine compiles).
+    parity_mode = os.environ.get("RLINF_BENCH_PARITY", "fast")
+    if on_tpu and parity_mode != "off":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests", "tpu"))
+        from test_onchip_parity import run_all
+
+        subset = None if parity_mode == "full" else {
+            "decode_kernel", "decode_in_model", "flash_train_step",
+        }
+        gate = run_all(checks=subset)
+        print(json.dumps({"parity_gate": gate}), file=sys.stderr)
+        bad = [k for k, v in gate.items() if not v["ok"]]
+        if bad:
+            print(json.dumps({
+                "metric": "rl_e2e_tokens_per_s", "value": 0.0,
+                "unit": "tok/s/chip", "vs_baseline": 0.0,
+                "error": f"on-chip parity gate failed: {bad}",
+            }))
+            sys.exit(1)
 
     if on_tpu:
         cfg = LLMConfig.qwen2_0_5b()

@@ -207,12 +207,17 @@ def decode_attention_packed(
         interpret=interpret,
     )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
       gfirst, glast, q_packed, k_cache, v_cache)
-    # Extract each head's lane band: out[:, h*G+g, h*Hd:(h+1)*Hd].
-    out = out[:, :H].reshape(B, num_kv, G, KD)
-    out = jnp.stack(
-        [out[:, h, :, h * Hd:(h + 1) * Hd] for h in range(num_kv)], axis=1
-    )
-    return out.reshape(B, H, Hd)
+    # Extract each head's lane band: out[:, h*G+g, h*Hd:(h+1)*Hd]. NOT as a
+    # stack of strided lane slices — XLA:TPU miscompiles that pattern under
+    # jit on real chips (verified round 3: jitted stack-of-slices epilogue
+    # diverges up to 5x relative from the same unpack applied eagerly, for
+    # every GQA shape; an optimization_barrier does not help). The diagonal
+    # contraction against a tiny identity lowers to one clean reduction and
+    # matches the oracle to a bf16 ulp on-chip.
+    out4 = out[:, :H].reshape(B, num_kv, G, num_kv, Hd)
+    eye = jnp.eye(num_kv, dtype=jnp.float32)
+    res = jnp.einsum("bkgjd,kj->bkgd", out4.astype(jnp.float32), eye)
+    return res.reshape(B, H, Hd).astype(q.dtype)
 
 
 def decode_attention_packed_xla(
