@@ -1,0 +1,101 @@
+"""End-to-end VLM reasoning GRPO: the model must LEARN to answer from the
+IMAGE (reference VLM GRPO e2e analog, tests/e2e_tests/ VLM configs).
+
+Synthetic task: each image is a solid dominant color; the question is the
+same for every example, so reward can only be earned by conditioning the
+generated text on the visual input — a true multimodal learning signal."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rlinf_tpu.config import (
+    AlgorithmConfig, RunnerConfig, TrainerConfig, DataConfig,
+)
+from rlinf_tpu.data.datasets import VQADataset, VQAExample
+from rlinf_tpu.data.tokenizers import ByteTokenizer
+from rlinf_tpu.models.embodiment.vit import ViTConfig
+from rlinf_tpu.models.llm.config import LLMConfig
+from rlinf_tpu.models.llm.sampler import SamplingParams
+from rlinf_tpu.models.vlm import VLMReasoningModel
+from rlinf_tpu.runners.vlm_reasoning_runner import VLMReasoningRunner
+from rlinf_tpu.training.learner import PolicyLossConfig
+from rlinf_tpu.training.train_state import OptimizerConfig
+
+COLORS = {"r": (1.0, 0.1, 0.1), "g": (0.1, 1.0, 0.1), "b": (0.1, 0.1, 1.0)}
+
+
+def _color_dataset(n=48, seed=0):
+    rng = np.random.default_rng(seed)
+    examples = []
+    for i in range(n):
+        c = list(COLORS)[i % 3]
+        img = np.ones((32, 32, 3), np.float32) * np.asarray(COLORS[c])
+        img += rng.normal(0, 0.05, img.shape).astype(np.float32)
+        examples.append(VQAExample(
+            image=np.clip(img, 0, 1), question="what color?", answers=[c]
+        ))
+    return VQADataset(examples)
+
+
+def _color_char_reward(texts, answer_lists):
+    """Dense, image-conditioned: fraction of generated chars equal to the
+    image's color letter — only earnable by looking at the image."""
+    return [
+        sum(c == ans[0] for c in t) / max(len(t), 1)
+        for t, ans in zip(texts, answer_lists)
+    ]
+
+
+def _make_runner(max_steps=50):
+    cfg = TrainerConfig(
+        model=LLMConfig(
+            vocab_size=258, hidden_size=48, intermediate_size=96,
+            num_layers=2, num_heads=2, num_kv_heads=2, max_seq_len=128,
+            dtype="float32",
+        ),
+        sampling=SamplingParams(
+            max_new_tokens=4, temperature=1.0, eos_token_id=-1,
+            pad_token_id=0,
+        ),
+        optimizer=OptimizerConfig(lr=4e-3, clip_grad=1.0),
+        loss=PolicyLossConfig(
+            clip_ratio_low=0.2, clip_ratio_high=0.2, entropy_bonus=0.001
+        ),
+        algorithm=AlgorithmConfig(adv_type="grpo", group_size=8),
+        runner=RunnerConfig(
+            rollout_batch_size=6, max_steps=max_steps, seed=0,
+            task_type="reasoning",
+        ),
+        data=DataConfig(max_prompt_len=16),
+    )
+    model = VLMReasoningModel(
+        vlm_cfg=cfg.model,
+        vit_cfg=ViTConfig(image_size=32, patch_size=16, hidden=32,
+                          layers=1, heads=2),
+    )
+    return VLMReasoningRunner(
+        cfg, ByteTokenizer(), _color_dataset(), model,
+        reward_fn=_color_char_reward,
+    )
+
+
+def test_vlm_grpo_learns_visual_reward():
+    runner = _make_runner()
+    history = runner.run(max_steps=45)
+    first5 = np.mean([h["rollout/reward_mean"] for h in history[:5]])
+    last5 = np.mean([h["rollout/reward_mean"] for h in history[-5:]])
+    assert last5 > first5 + 0.05, (
+        f"no visual learning: {first5:.4f} -> {last5:.4f}"
+    )
+    # behavior and training logprobs are the same computation here
+    assert abs(history[0]["actor/approx_kl"]) < 1e-3
+
+
+def test_vlm_runner_metrics():
+    runner = _make_runner(max_steps=1)
+    out = runner.run_step()
+    for key in ("actor/loss", "actor/approx_kl", "rollout/reward_mean",
+                "time/rollout", "time/training"):
+        assert key in out
