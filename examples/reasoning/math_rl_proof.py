@@ -3,19 +3,23 @@
 The reference's BASELINE config 1 is Qwen2.5-0.5B GRPO on GSM8K
 (reference examples/reasoning/main_grpo.py + config/math). This image has no
 pretrained checkpoints and no network egress, so this script runs the nearest
-runnable analog with every real component of that pipeline:
+runnable analog with every real component of that pipeline (scaled up per
+VERDICT round-2 item 5 from round-2's 8-byte answers):
 
-  1. SFT warmup of a from-scratch byte-level decoder on generated 2-digit
-     arithmetic word problems (stops deliberately short of convergence so RL
-     has headroom) — the stand-in for "pretrained model".
-  2. >=120 GRPO steps through the full ReasoningRunner path (rollout engine
-     -> sympy math verifier -> GRPO advantages -> PPO-clip update) on TPU.
-  3. Reward curve logged to metrics.jsonl and stored as a parity baseline
-     (reference tests/parity_tests/compare_baseline.py method) so future
-     rounds regression-test against it.
-
-Done-criterion (VERDICT.md round-1 item 4): a committed learning curve with
-reward going up on verifier-graded math data.
+  1. Train a byte-level BPE tokenizer (digit-atomic) on a synthetic
+     multi-step GSM8K-style corpus (examples/reasoning/gsm_synth.py:
+     chain-of-thought solutions, '#### N' final answers).
+  2. SFT warmup of a from-scratch Qwen2-geometry model (8 layers, 512
+     hidden, GQA 8/2, tied embeddings) on chain-of-thought targets — the
+     "pretrained model" stand-in, stopped short of convergence.
+  3. >=200 GRPO steps through the FULL production path: continuous-batching
+     rollout engine (pallas decode, int8 weight quant, recompute-logprobs
+     invariant auto-on), sympy verifier ladder, GRPO advantages,
+     dynamic token-budget microbatching, PPO-clip update.
+  4. Step-1 KL tripwire (approx_kl > 0.1 aborts: rollout/training logprob
+     mismatch is a bug, not a tuning problem), greedy held-out accuracy
+     before/after, reward curve stored as a parity baseline
+     (reference tests/parity_tests/compare_baseline.py method).
 
 Usage: python examples/reasoning/math_rl_proof.py [--sft-steps N] [--rl-steps N]
 """
@@ -24,7 +28,6 @@ import argparse
 import dataclasses
 import json
 import os
-import random
 import sys
 import time
 
@@ -36,96 +39,129 @@ if os.environ.get("RLINF_FORCE_CPU"):  # dev smoke runs; sitecustomize pins TPU
     jax.config.update("jax_platforms", "cpu")
 
 
-def build_dataset(n, seed):
-    """Mixed 2-digit add/sub and 1-digit mul problems, sympy-gradeable."""
-    from rlinf_tpu.data.datasets import PromptDataset, PromptExample
+def greedy_accuracy(runner, tok, examples, max_new=128):
+    """Greedy decode + verifier grade on held-out problems."""
+    import numpy as np
+    import jax
+    from rlinf_tpu.algorithms.rewards.math_verifier import batch_math_rewards
+    from rlinf_tpu.data.io_struct import RolloutRequest
+    from rlinf_tpu.models.llm.sampler import SamplingParams
+    from rlinf_tpu.rollout.engine import RolloutEngine
 
-    rng = random.Random(seed)
-    examples = []
-    for _ in range(n):
-        kind = rng.randrange(3)
-        if kind == 0:
-            a, b = rng.randint(10, 99), rng.randint(10, 99)
-            q, ans = f"{a}+{b}", a + b
-        elif kind == 1:
-            a, b = rng.randint(10, 99), rng.randint(10, 99)
-            if a < b:
-                a, b = b, a
-            q, ans = f"{a}-{b}", a - b
-        else:
-            a, b = rng.randint(2, 9), rng.randint(2, 12)
-            q, ans = f"{a}*{b}", a * b
-        examples.append(
-            PromptExample(prompt=f"Q: {q}=?\nA: ", answer=str(ans))
-        )
-    return PromptDataset(examples)
+    sp = SamplingParams(
+        max_new_tokens=max_new, temperature=1.0, greedy=True,
+        eos_token_id=tok.eos_id, pad_token_id=tok.pad_id,
+    )
+    eng = RolloutEngine(
+        runner.cfg.model, sp, prompt_bucket=64, weight_quant="none"
+    )
+    req = RolloutRequest(
+        prompt_ids=[tok.encode(ex.prompt)[:64] for ex in examples],
+        answers=[ex.answer for ex in examples],
+    )
+    out = eng.rollout(runner._policy_params(), req, jax.random.PRNGKey(0))
+    texts = out.response_texts(tok)
+    rewards = batch_math_rewards(texts, out.answers)
+    return float(np.mean(rewards)), texts
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--sft-steps", type=int, default=350)
-    parser.add_argument("--rl-steps", type=int, default=140)
+    parser.add_argument("--sft-steps", type=int, default=1200)
+    parser.add_argument("--rl-steps", type=int, default=200)
     parser.add_argument("--log-dir", default="logs/math_rl_proof")
     args = parser.parse_args()
 
+    import numpy as np
+
+    from examples.reasoning.gsm_synth import (
+        build_rl_examples, build_sft_examples, corpus_texts,
+    )
     from rlinf_tpu.config import config_from_dict
-    from rlinf_tpu.data.tokenizers import ByteTokenizer
+    from rlinf_tpu.data.datasets import PromptDataset
+    from rlinf_tpu.data.tokenizers import BPETokenizer
     from rlinf_tpu.runners import ReasoningRunner
     from rlinf_tpu.runners.sft_runner import SFTRunner
     from rlinf_tpu.utils import parity
 
-    tok = ByteTokenizer()
+    os.makedirs(args.log_dir, exist_ok=True)
+
+    # ---- phase 0: tokenizer (digit-atomic BPE on the task corpus) ----
+    t0 = time.perf_counter()
+    tok = BPETokenizer.train(corpus_texts(3000, seed=7), num_merges=440)
+    tok.save(os.path.join(args.log_dir, "tokenizer.json"))
+    print(f"[tok] vocab {tok.vocab_size} in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
     model = dict(
-        vocab_size=tok.vocab_size + 6, hidden_size=384, intermediate_size=1024,
-        num_layers=6, num_heads=6, num_kv_heads=2, max_seq_len=256,
+        vocab_size=768, hidden_size=512, intermediate_size=1408,
+        num_layers=8, num_heads=8, num_kv_heads=2, max_seq_len=512,
         rope_theta=10000.0, dtype="bfloat16", qkv_bias=True,
         tie_word_embeddings=True,
     )
-    os.makedirs(args.log_dir, exist_ok=True)
+    assert model["vocab_size"] >= tok.vocab_size
 
-    # ---- phase 1: SFT warmup (the "pretrained model" stand-in) ----
+    # ---- phase 1: SFT warmup on chain-of-thought targets ----
     sft_cfg = config_from_dict({
         "model": model,
-        "optimizer": {"lr": 1e-3, "warmup_steps": 20},
+        "optimizer": {"lr": 6e-4, "warmup_steps": 40},
         "runner": {
             "task_type": "sft", "max_steps": args.sft_steps,
-            "rollout_batch_size": 128, "log_dir": args.log_dir + "/sft",
+            "rollout_batch_size": 96, "log_dir": args.log_dir + "/sft",
         },
-        "data": {"max_prompt_len": 32},
-        "sampling": {"max_new_tokens": 8, "eos_token_id": 1},
+        "data": {"max_prompt_len": 64},
+        "sampling": {"max_new_tokens": 128, "eos_token_id": 1},
     })
     t0 = time.perf_counter()
-    sft = SFTRunner(sft_cfg, tok, build_dataset(8192, seed=0))
+    sft = SFTRunner(sft_cfg, tok,
+                    PromptDataset(build_sft_examples(40000, seed=0)))
     hist = sft.run()
     print(f"[sft] {args.sft_steps} steps in {time.perf_counter()-t0:.1f}s, "
           f"final nll_sum {hist[-1].get('sft/nll_sum', -1):.1f}", flush=True)
     sft_params = sft.state.params
 
-    # ---- phase 2: GRPO through the full runner path ----
+    # ---- phase 2: GRPO through the full production path ----
     rl_cfg = config_from_dict({
         "model": model,
-        "optimizer": {"lr": 3e-5, "warmup_steps": 10},
+        "optimizer": {"lr": 2e-5, "warmup_steps": 10},
         "algorithm": {"adv_type": "grpo", "group_size": 8},
-        "loss": {"clip_ratio_low": 0.2, "clip_ratio_high": 0.2, "entropy_bonus": 0.001},
+        "loss": {"clip_ratio_low": 0.2, "clip_ratio_high": 0.2,
+                 "entropy_bonus": 0.001, "max_tokens_per_mb": 8192},
+        "rollout": {"engine": "continuous", "num_slots": 64,
+                    "decode_chunk": 16, "prompt_bucket": 64},
         "runner": {
             "task_type": "reasoning", "max_steps": args.rl_steps,
-            "rollout_batch_size": 24, "log_dir": args.log_dir + "/rl",
+            "rollout_batch_size": 16, "log_dir": args.log_dir + "/rl",
             "seed": 1,
         },
-        "sampling": {"max_new_tokens": 8, "temperature": 1.0,
+        "sampling": {"max_new_tokens": 128, "temperature": 1.0,
                      "eos_token_id": 1},
-        "data": {"max_prompt_len": 32},
+        "data": {"max_prompt_len": 64},
     })
+    rl_data = PromptDataset(build_rl_examples(20000, seed=1))
     runner = ReasoningRunner(
-        rl_cfg, tok, build_dataset(4096, seed=1),
+        rl_cfg, tok, rl_data,
         init_params_override=lambda rng: sft_params,
     )
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        assert runner.recompute_logprobs, (
+            "TPU defaults (int8 + pallas decode) must auto-enable the "
+            "logprob recompute invariant"
+        )
+    heldout = build_rl_examples(128, seed=99)
+    acc0, sample_texts = greedy_accuracy(runner, tok, heldout)
+    print(f"[eval] pre-RL greedy accuracy {acc0:.3f}", flush=True)
+    print("[eval] sample:", repr(sample_texts[0][:160]), flush=True)
+
     t0 = time.perf_counter()
     first_metrics = runner.run_step()
     # Tripwire (VERDICT round-2): step-1 approx_kl >> 0 means the behavior
     # policy the engine reports is not the policy the learner computes —
     # a broken decode path, not a tuning problem. Fail loudly, never train on.
     kl0 = abs(first_metrics.get("actor/approx_kl", 0.0))
+    print(f"[rl] step-1 approx_kl {kl0:.6f}", flush=True)
     if kl0 > 0.1:
         raise SystemExit(
             f"FATAL: step-1 actor/approx_kl={kl0:.4f} > 0.1 — rollout and "
@@ -136,19 +172,31 @@ def main():
     dt = time.perf_counter() - t0
 
     rewards = [h["rollout/reward_mean"] for h in history]
+    resp_len = float(np.mean([h["rollout/response_len_mean"] for h in history]))
     k = max(5, len(rewards) // 10)
     first, last = sum(rewards[:k]) / k, sum(rewards[-k:]) / k
     print(f"[rl] {len(rewards)} steps in {dt:.1f}s  "
-          f"reward first-{k} {first:.3f} -> last-{k} {last:.3f}", flush=True)
+          f"reward first-{k} {first:.3f} -> last-{k} {last:.3f}  "
+          f"mean response len {resp_len:.1f} tok", flush=True)
+
+    acc1, _ = greedy_accuracy(runner, tok, heldout)
+    print(f"[eval] post-RL greedy accuracy {acc0:.3f} -> {acc1:.3f}",
+          flush=True)
 
     parity.save_baseline(
         os.path.join(args.log_dir, "baseline_reward.json"),
         rewards,
         meta={"task": "math_rl_proof", "metric": "rollout/reward_mean",
-              "sft_steps": args.sft_steps, "rl_steps": args.rl_steps},
+              "sft_steps": args.sft_steps, "rl_steps": args.rl_steps,
+              "model": model, "tokenizer_vocab": tok.vocab_size},
     )
-    summary = {"reward_first": first, "reward_last": last,
-               "improved": last > first + 0.05, "rl_seconds": dt}
+    summary = {
+        "reward_first": first, "reward_last": last,
+        "greedy_acc_pre": acc0, "greedy_acc_post": acc1,
+        "mean_response_len_tokens": resp_len,
+        "step1_approx_kl": kl0,
+        "improved": last > first + 0.05, "rl_seconds": dt,
+    }
     with open(os.path.join(args.log_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)

@@ -118,7 +118,12 @@ class OpenVLAPolicy(Policy):
             if self.vit2_cfg.cls_token:
                 img2 = img2[:, 1:]
             img = jnp.concatenate([img, img2], axis=-1)
-        img = _mlp_apply(params["img_proj"], img, activation=jax.nn.gelu)
+        # exact erf-GELU: matches the torch prismatic projector so imported
+        # checkpoints stay bit-faithful (tests/test_vla_torch_parity.py)
+        img = _mlp_apply(
+            params["img_proj"], img,
+            activation=lambda x: jax.nn.gelu(x, approximate=False),
+        )
         B, Ni = img.shape[:2]
         toks, valid = [img], [jnp.ones((B, Ni), bool)]
         if c.text_key in obs:

@@ -157,7 +157,10 @@ def vit_encode(params: Dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
             o = o + layer["bo"]
         x = x + o
         h = norm2(x, layer)
-        h = jax.nn.gelu(h @ layer["w1"] + (layer["b1"] if timm else 0.0))
+        # timm uses exact erf-GELU (torch nn.GELU default); our from-scratch
+        # towers keep the cheaper tanh approximation
+        h = jax.nn.gelu(h @ layer["w1"] + (layer["b1"] if timm else 0.0),
+                        approximate=not timm)
         x = x + (h @ layer["w2"] + (layer["b2"] if timm else 0.0))
         return x, None
 
