@@ -99,3 +99,38 @@ def test_vlm_runner_metrics():
     for key in ("actor/loss", "actor/approx_kl", "rollout/reward_mean",
                 "time/rollout", "time/training"):
         assert key in out
+
+
+def test_vlm_sft_then_grpo():
+    """VLM SFT (megatron_vlm_sft_worker analog) drives NLL down on VQA
+    triples, and the SFT'd params drop into the GRPO runner."""
+    from rlinf_tpu.runners.vlm_sft_runner import VLMSFTRunner
+
+    cfg = _make_runner(max_steps=1).cfg  # reuse the tiny config
+    model = VLMReasoningModel(
+        vlm_cfg=cfg.model,
+        vit_cfg=ViTConfig(image_size=32, patch_size=16, hidden=32,
+                          layers=1, heads=2),
+    )
+    import dataclasses as dc
+
+    sft_cfg = dc.replace(
+        cfg,
+        optimizer=OptimizerConfig(lr=3e-3, clip_grad=1.0),
+        runner=dc.replace(cfg.runner, max_steps=30, rollout_batch_size=16),
+    )
+    sft = VLMSFTRunner(sft_cfg, ByteTokenizer(), _color_dataset(), model)
+    hist = sft.run()
+    assert hist[-1]["sft/loss"] < hist[0]["sft/loss"] * 0.7, (
+        f"VLM SFT not learning: {hist[0]['sft/loss']} -> {hist[-1]['sft/loss']}"
+    )
+
+    # SFT'd params feed the GRPO runner (same model/tree)
+    rl = VLMReasoningRunner(
+        cfg, ByteTokenizer(), _color_dataset(), model,
+        reward_fn=_color_char_reward,
+    )
+    rl.state = rl.state._replace(params=sft.state.params)
+    out = rl.run_step()
+    # an SFT'd model answers with the color char -> immediate reward
+    assert out["rollout/reward_mean"] > 0.1
