@@ -64,8 +64,14 @@ def prefill_flops(cfg: LLMConfig, batch: int, seq_len: int) -> float:
 
 
 def decode_step_bytes(cfg: LLMConfig, batch: int, kv_len: float) -> float:
-    """HBM bytes per decode step: all weights + the batch's KV cache."""
-    weight_bytes = cfg.num_params() * 2  # bf16
+    """HBM bytes per decode step: all weights + the batch's KV cache.
+
+    Weights are counted at bf16 — the BASELINE convention: this roofline
+    models the reference's bf16 serving stack on this chip, so bench
+    ``vs_baseline`` compares our implementation (including optimizations
+    like int8 weight-only decode) against the reference-workload bound, and
+    can legitimately exceed what our own int8 byte count would allow."""
+    weight_bytes = cfg.num_params() * 2  # bf16 baseline convention
     kv_bytes = (
         batch * cfg.num_layers * 2 * kv_len * cfg.kv_dim * 2
     )
