@@ -20,18 +20,27 @@ NAMES = ["Tom", "Mia", "Sam", "Ava", "Leo", "Zoe", "Max", "Ida"]
 ITEMS = ["apples", "coins", "books", "pens", "cards", "shells", "stamps"]
 
 
-def make_problem(rng: random.Random, min_steps=2, max_steps=4) -> Tuple[str, str, str]:
-    """-> (question, chain_of_thought_answer, final_answer_str)."""
+def make_problem(rng: random.Random, min_steps=3, max_steps=6) -> Tuple[str, str, str]:
+    """-> (question, chain_of_thought_answer, final_answer_str).
+
+    Hard enough that a partially-SFT'd ~30M model is imperfect (2-digit
+    operands, 3-6 chained steps, occasional distractor sentence about
+    ANOTHER person that must be ignored) — the RL-headroom requirement."""
     name = rng.choice(NAMES)
     item = rng.choice(ITEMS)
-    v = rng.randint(3, 20)
+    v = rng.randint(5, 45)
     story = [f"{name} has {v} {item}."]
     cot = []
     steps = rng.randint(min_steps, max_steps)
     for _ in range(steps):
+        if rng.random() < 0.25:  # distractor: someone else's count
+            other = rng.choice([n for n in NAMES if n != name])
+            story.append(
+                f"{other} has {rng.randint(2, 60)} {item} too."
+            )
         kind = rng.randrange(5)
         if kind == 0:
-            k, m = rng.randint(2, 5), rng.randint(2, 6)
+            k, m = rng.randint(2, 7), rng.randint(2, 9)
             story.append(f"{name} buys {k} bags of {m} {item} each.")
             nv = v + k * m
             cot.append(f"{k} * {m} = {k * m}. {v} + {k * m} = {nv}.")
@@ -41,11 +50,11 @@ def make_problem(rng: random.Random, min_steps=2, max_steps=4) -> Tuple[str, str
             nv = v - d
             cot.append(f"{v} - {d} = {nv}.")
         elif kind == 2:
-            d = rng.randint(2, 15)
+            d = rng.randint(3, 28)
             story.append(f"{name} finds {d} more {item}.")
             nv = v + d
             cot.append(f"{v} + {d} = {nv}.")
-        elif kind == 3 and v <= 60:
+        elif kind == 3 and v <= 70:
             story.append(f"A friend doubles {name}'s {item}.")
             nv = v * 2
             cot.append(f"{v} * 2 = {nv}.")
@@ -54,7 +63,7 @@ def make_problem(rng: random.Random, min_steps=2, max_steps=4) -> Tuple[str, str
             nv = v // 2
             cot.append(f"{v} / 2 = {nv}.")
         else:
-            d = rng.randint(2, 15)
+            d = rng.randint(3, 28)
             story.append(f"{name} finds {d} more {item}.")
             nv = v + d
             cot.append(f"{v} + {d} = {nv}.")

@@ -39,8 +39,8 @@ if os.environ.get("RLINF_FORCE_CPU"):  # dev smoke runs; sitecustomize pins TPU
     jax.config.update("jax_platforms", "cpu")
 
 
-def greedy_accuracy(runner, tok, examples, max_new=128):
-    """Greedy decode + verifier grade on held-out problems."""
+def make_greedy_evaluator(model_cfg, tok, examples, max_new=128):
+    """One reusable greedy-decode + verifier-grade evaluator (single jit)."""
     import numpy as np
     import jax
     from rlinf_tpu.algorithms.rewards.math_verifier import batch_math_rewards
@@ -52,17 +52,19 @@ def greedy_accuracy(runner, tok, examples, max_new=128):
         max_new_tokens=max_new, temperature=1.0, greedy=True,
         eos_token_id=tok.eos_id, pad_token_id=tok.pad_id,
     )
-    eng = RolloutEngine(
-        runner.cfg.model, sp, prompt_bucket=64, weight_quant="none"
-    )
+    eng = RolloutEngine(model_cfg, sp, prompt_bucket=64, weight_quant="none")
     req = RolloutRequest(
         prompt_ids=[tok.encode(ex.prompt)[:64] for ex in examples],
         answers=[ex.answer for ex in examples],
     )
-    out = eng.rollout(runner._policy_params(), req, jax.random.PRNGKey(0))
-    texts = out.response_texts(tok)
-    rewards = batch_math_rewards(texts, out.answers)
-    return float(np.mean(rewards)), texts
+
+    def evaluate(params):
+        out = eng.rollout(params, req, jax.random.PRNGKey(0))
+        texts = out.response_texts(tok)
+        rewards = batch_math_rewards(texts, out.answers)
+        return float(np.mean(rewards)), texts
+
+    return evaluate
 
 
 def main():
@@ -112,12 +114,30 @@ def main():
         "data": {"max_prompt_len": 64},
         "sampling": {"max_new_tokens": 128, "eos_token_id": 1},
     })
+    # Adaptive stop: segments of SFT with a greedy held-out eval between —
+    # stop at PARTIAL competence (the "stops short of convergence" rule; on
+    # this templated corpus full SFT memorizes the task and leaves RL no
+    # headroom — observed ppl 1.015 at step ~800 on the easy corpus).
+    from rlinf_tpu.config import config_from_dict as _cfd
+
+    heldout_sft = build_rl_examples(96, seed=42)
     t0 = time.perf_counter()
     sft = SFTRunner(sft_cfg, tok,
                     PromptDataset(build_sft_examples(40000, seed=0)))
-    hist = sft.run()
-    print(f"[sft] {args.sft_steps} steps in {time.perf_counter()-t0:.1f}s, "
-          f"final nll_sum {hist[-1].get('sft/nll_sum', -1):.1f}", flush=True)
+    sft_eval = make_greedy_evaluator(sft_cfg.model, tok, heldout_sft)
+    segment = 120
+    acc = 0.0
+    while sft.global_step < args.sft_steps:
+        sft.run(max_steps=min(sft.global_step + segment, args.sft_steps))
+        acc, _ = sft_eval(sft.state.params)
+        print(f"[sft] step {sft.global_step} greedy-acc {acc:.3f}",
+              flush=True)
+        if 0.10 <= acc <= 0.55:
+            print("[sft] partial competence reached — stopping for RL "
+                  "headroom", flush=True)
+            break
+    print(f"[sft] {sft.global_step} steps in {time.perf_counter()-t0:.1f}s, "
+          f"stop acc {acc:.3f}", flush=True)
     sft_params = sft.state.params
 
     # ---- phase 2: GRPO through the full production path ----
@@ -151,7 +171,8 @@ def main():
             "logprob recompute invariant"
         )
     heldout = build_rl_examples(128, seed=99)
-    acc0, sample_texts = greedy_accuracy(runner, tok, heldout)
+    rl_eval = make_greedy_evaluator(rl_cfg.model, tok, heldout)
+    acc0, sample_texts = rl_eval(runner._policy_params())
     print(f"[eval] pre-RL greedy accuracy {acc0:.3f}", flush=True)
     print("[eval] sample:", repr(sample_texts[0][:160]), flush=True)
 
@@ -179,7 +200,7 @@ def main():
           f"reward first-{k} {first:.3f} -> last-{k} {last:.3f}  "
           f"mean response len {resp_len:.1f} tok", flush=True)
 
-    acc1, _ = greedy_accuracy(runner, tok, heldout)
+    acc1, _ = rl_eval(runner._policy_params())
     print(f"[eval] post-RL greedy accuracy {acc0:.3f} -> {acc1:.3f}",
           flush=True)
 
