@@ -73,7 +73,7 @@ def main():
     hist = runner.run()
     dt = time.perf_counter() - t0
 
-    rewards = [h["rollout/reward_mean"] for h in hist]
+    rewards = [h["agent/reward_mean"] for h in hist]
     k = max(5, len(rewards) // 8)
     first, last = float(np.mean(rewards[:k])), float(np.mean(rewards[-k:]))
     turns = float(np.mean([h.get("agent/num_turns_mean", 0.0) for h in hist]))
