@@ -17,6 +17,14 @@ VMEM. Backward uses the standard flash two-kernel split: a dQ pass (loop over
 kv blocks) and a dK/dV pass (loop over q blocks), both re-reading the saved
 logsumexp.
 
+Causal block skipping (the flash-attn "block-sparse causal" trick): per-block
+position ranges are computed OUTSIDE the kernel and passed as scalar
+prefetch; each program's inner loop runs only to its last needed kv block
+(fwd/dq) or from its first needed q block (dk/dv) — dynamic fori bounds from
+SMEM. For arange positions (training) this halves attention compute; for
+arbitrary position layouts it is conservative and exact (blocks inside the
+bound that are fully masked still mask to -inf).
+
 On non-TPU backends the kernels run in interpret mode (the CPU test mesh);
 numerics match the XLA reference to fp32 tolerance.
 """
@@ -29,8 +37,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -2.0**30
+_IMAX = jnp.iinfo(jnp.int32).max
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
@@ -45,15 +55,18 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
+    hi_ref,                                   # [B, num_qb] scalar prefetch
     q_ref, k_ref, v_ref, pq_ref, pkv_ref, val_ref,
     o_ref, lse_ref,
     *, scale: float, block_k: int, seq_k: int,
 ):
     # q_ref [1,1,BQ,D]; k/v_ref [1,1,Sk,D]; pq [1,1,BQ]; pkv/val [1,1,Sk]
+    b = pl.program_id(0)
+    i = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale          # [BQ, D]
     bq, d = q.shape
     pos_q = pq_ref[0, 0, :].astype(jnp.int32)            # [BQ]
-    num_kb = seq_k // block_k
+    hi = hi_ref[b, i]                                    # needed kv blocks
 
     def body(jk, carry):
         acc, m, l = carry
@@ -82,7 +95,7 @@ def _fwd_kernel(
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, hi, body, (acc0, m0, l0))
 
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
@@ -91,15 +104,40 @@ def _fwd_kernel(
 
 def _in_specs(G, Sk, D, block_q):
     """(q, k, v, pq, pkv, val) specs for head-major operands on a
-    (B, H, num_q_blocks) grid."""
+    (B, H, num_q_blocks) grid with one scalar-prefetch operand."""
     return [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // G, 0, 0)),
-        pl.BlockSpec((1, 1, Sk, D), lambda b, h, i: (b, h // G, 0, 0)),
-        pl.BlockSpec((1, 1, block_q), lambda b, h, i: (b, 0, i)),
-        pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
-        pl.BlockSpec((1, 1, Sk), lambda b, h, i: (b, 0, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, s: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, Sk, D), lambda b, h, i, s: (b, h // G, 0, 0)),
+        pl.BlockSpec((1, 1, Sk, D), lambda b, h, i, s: (b, h // G, 0, 0)),
+        pl.BlockSpec((1, 1, block_q), lambda b, h, i, s: (b, 0, i)),
+        pl.BlockSpec((1, 1, Sk), lambda b, h, i, s: (b, 0, 0)),
+        pl.BlockSpec((1, 1, Sk), lambda b, h, i, s: (b, 0, 0)),
     ]
+
+
+def _block_bounds(pos_q, pos_kv, valid, block_q, block_k):
+    """Per-(row, block) causal bounds, computed once in XLA.
+
+    hi[b, i] = 1 + last kv block whose min VALID position is <= the q
+    block's max position (0 if none) — the fwd/dq trip count.
+    lo[b, j] = first q block whose max position reaches the kv block's min
+    valid position (num_qb if none) — the dk/dv loop start.
+    """
+    B, Sq = pos_q.shape
+    Sk = pos_kv.shape[1]
+    num_qb, num_kb = Sq // block_q, Sk // block_k
+    qmax = pos_q.reshape(B, num_qb, block_q).max(-1)                # [B, nq]
+    kmin = jnp.where(valid != 0, pos_kv, _IMAX).reshape(
+        B, num_kb, block_k
+    ).min(-1)                                                       # [B, nk]
+    needed = kmin[:, None, :] <= qmax[:, :, None]                   # [B,nq,nk]
+    hi = jnp.where(
+        needed, jnp.arange(num_kb)[None, None, :] + 1, 0
+    ).max(-1).astype(jnp.int32)                                     # [B, nq]
+    lo = jnp.where(
+        needed, jnp.arange(num_qb)[None, :, None], num_qb
+    ).min(1).astype(jnp.int32)                                      # [B, nk]
+    return hi, lo
 
 
 def _fwd_call(q, k, v, pos_q, pos_kv, valid, scale, block_q, block_k):
@@ -107,23 +145,30 @@ def _fwd_call(q, k, v, pos_q, pos_kv, valid, scale, block_q, block_k):
     B, H, Sq, D = q.shape
     K, Sk = k.shape[1], k.shape[2]
     G = H // K
+    hi, _ = _block_bounds(
+        pos_q[:, 0], pos_kv[:, 0], valid[:, 0], block_q, block_k
+    )
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_k=block_k, seq_k=Sk
     )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B, H, Sq // block_q),
         in_specs=_in_specs(G, Sk, D, block_q),
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, s: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, s: (b, h, i, 0)),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v, pos_q, pos_kv, valid)
+    )(hi, q, k, v, pos_q, pos_kv, valid)
 
 
 # ---------------------------------------------------------------------------
@@ -131,16 +176,19 @@ def _fwd_call(q, k, v, pos_q, pos_kv, valid, scale, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(
+    hi_ref,
     q_ref, k_ref, v_ref, pq_ref, pkv_ref, val_ref, do_ref, lse_ref, delta_ref,
     dq_ref, *, scale, block_k, seq_k,
 ):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32)
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0, :, 0]
     delta = delta_ref[0, 0, :, 0]
     pos_q = pq_ref[0, 0, :].astype(jnp.int32)
     bq, d = q.shape
-    num_kb = seq_k // block_k
+    hi = hi_ref[b, i]
 
     def body(jk, dq):
         k_blk = k_ref[0, 0, pl.ds(jk * block_k, block_k), :].astype(jnp.float32)
@@ -163,22 +211,26 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(0, num_kb, body, jnp.zeros((bq, d), jnp.float32))
+    dq = jax.lax.fori_loop(0, hi, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
+    lo_ref,
     q_ref, k_ref, v_ref, pq_ref, pkv_ref, val_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, *, scale, block_q, seq_q,
 ):
     # Grid (B, H, num_k_blocks): each program accumulates q-head h's
     # contribution to kv block j; the wrapper sums over each GQA group.
+    b = pl.program_id(0)
+    j = pl.program_id(2)
     k_blk = k_ref[0, 0].astype(jnp.float32)   # [BK, D]
     v_blk = v_ref[0, 0].astype(jnp.float32)
     pos_kv = pkv_ref[0, 0, :].astype(jnp.int32)
     valid = val_ref[0, 0, :]
     bk, d = k_blk.shape
     num_qb = seq_q // block_q
+    lo = lo_ref[b, j]
 
     def body(iq, carry):
         dk, dv = carry
@@ -211,7 +263,7 @@ def _bwd_dkv_kernel(
 
     dk0 = jnp.zeros((bk, d), jnp.float32)
     dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    dk, dv = jax.lax.fori_loop(lo, num_qb, body, (dk0, dv0))
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
@@ -236,50 +288,61 @@ def _flash_bwd(scale, block_q, block_k, res, do):
     B, H, Sq, D = q.shape
     K, Sk = k.shape[1], k.shape[2]
     G = H // K
+    hi, lo = _block_bounds(
+        pos_q[:, 0], pos_kv[:, 0], valid[:, 0], block_q, block_k
+    )
     delta = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )  # [B, H, Sq, 1]
 
     bwd_in_specs = _in_specs(G, Sk, D, block_q) + [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),  # do
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),  # lse
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),  # delta
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, s: (b, h, i, 0)),  # do
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, s: (b, h, i, 0)),  # lse
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, s: (b, h, i, 0)),  # delta
     ]
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_k=block_k, seq_k=Sk),
-        grid=(B, H, Sq // block_q),
-        in_specs=bwd_in_specs,
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, Sq // block_q),
+            in_specs=bwd_in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, i, s: (b, h, i, 0)
+            ),
+        ),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
         interpret=_interpret(),
-    )(q, k, v, pos_q, pos_kv, valid, do, lse, delta)
+    )(hi, q, k, v, pos_q, pos_kv, valid, do, lse, delta)
 
     dkv_specs = [
-        pl.BlockSpec((1, 1, Sq, D), lambda b, h, j: (b, h, 0, 0)),        # q
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h // G, j, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h // G, j, 0)),
-        pl.BlockSpec((1, 1, Sq), lambda b, h, j: (b, 0, 0)),
-        pl.BlockSpec((1, 1, block_k), lambda b, h, j: (b, 0, j)),
-        pl.BlockSpec((1, 1, block_k), lambda b, h, j: (b, 0, j)),
-        pl.BlockSpec((1, 1, Sq, D), lambda b, h, j: (b, h, 0, 0)),        # do
-        pl.BlockSpec((1, 1, Sq, 1), lambda b, h, j: (b, h, 0, 0)),        # lse
-        pl.BlockSpec((1, 1, Sq, 1), lambda b, h, j: (b, h, 0, 0)),        # delta
+        pl.BlockSpec((1, 1, Sq, D), lambda b, h, j, s: (b, h, 0, 0)),        # q
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, s: (b, h // G, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, s: (b, h // G, j, 0)),
+        pl.BlockSpec((1, 1, Sq), lambda b, h, j, s: (b, 0, 0)),
+        pl.BlockSpec((1, 1, block_k), lambda b, h, j, s: (b, 0, j)),
+        pl.BlockSpec((1, 1, block_k), lambda b, h, j, s: (b, 0, j)),
+        pl.BlockSpec((1, 1, Sq, D), lambda b, h, j, s: (b, h, 0, 0)),        # do
+        pl.BlockSpec((1, 1, Sq, 1), lambda b, h, j, s: (b, h, 0, 0)),        # lse
+        pl.BlockSpec((1, 1, Sq, 1), lambda b, h, j, s: (b, h, 0, 0)),        # delta
     ]
     # dk/dv emitted per q-head [B, H, Sk, D], then reduced over each group.
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q, seq_q=Sq),
-        grid=(B, H, Sk // block_k),
-        in_specs=dkv_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, j: (b, h, j, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, Sk // block_k),
+            in_specs=dkv_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, s: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, s: (b, h, j, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Sk, D), jnp.float32),
             jax.ShapeDtypeStruct((B, H, Sk, D), jnp.float32),
         ],
         interpret=_interpret(),
-    )(q, k, v, pos_q, pos_kv, valid, do, lse, delta)
+    )(lo, q, k, v, pos_q, pos_kv, valid, do, lse, delta)
 
     dk = dk_h.reshape(B, K, G, Sk, D).sum(axis=2).astype(k.dtype)
     dv = dv_h.reshape(B, K, G, Sk, D).sum(axis=2).astype(v.dtype)
