@@ -42,8 +42,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -2.0**30
 _IMAX = jnp.iinfo(jnp.int32).max
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# 512-token tiles: measured r3 on v5e at T=2048 fwd+bwd — 128/128 24.9ms,
+# 256/256 15.9ms, 512/512 11.8ms vs XLA attention 17.2ms. Small tiles
+# under-fill the MXU at head dim 64; 512 amortizes per-dot overheads.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 
 
 def _interpret() -> bool:
