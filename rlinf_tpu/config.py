@@ -112,7 +112,11 @@ class TrainerConfig:
     lora: LoRAConfig = dataclasses.field(default_factory=LoRAConfig)
     num_microbatches: int = 1
     remat: bool = True
-    attn_impl: str = "xla"
+    #: training attention: "auto" = the in-tree flash kernel on TPU when the
+    #: trained sequence length reaches 1024 (measured r3 on v5e: flash
+    #: 512-tiles beat XLA attention 1.07x at T1024, 1.32x at T2048, 1.77x at
+    #: T4096; XLA wins below ~512), XLA otherwise; or force xla|pallas|ring.
+    attn_impl: str = "auto"
 
 
 _SECTION_TYPES = {
@@ -192,6 +196,22 @@ def load_config(
 _TASK_TYPES = ("reasoning", "embodied", "sft", "offline", "agent", "serving")
 _ADV_TYPES = ("grpo", "gae", "reinpp", "raw", "opd", "grpo_dynamic")
 _DTYPES = ("bfloat16", "float32", "float16")
+
+
+def resolve_attn_impl(cfg: TrainerConfig) -> str:
+    """Resolve ``attn_impl='auto'`` to a concrete kernel for the TRAINED
+    sequence length (prompt + response, not the model's capacity)."""
+    import jax
+
+    if cfg.attn_impl != "auto":
+        return cfg.attn_impl
+    if jax.default_backend() != "tpu":
+        return "xla"
+    t = min(
+        cfg.model.max_seq_len,
+        cfg.data.max_prompt_len + cfg.sampling.max_new_tokens,
+    )
+    return "pallas" if t >= 1024 else "xla"
 
 
 def validate_config(cfg: TrainerConfig):

@@ -9,6 +9,8 @@ assembled per-turn-masked batches.
 
 from __future__ import annotations
 
+import dataclasses
+
 import time
 from typing import Callable, Dict, List, Optional
 
@@ -46,6 +48,9 @@ class AgentRunner:
         loop_cfg: AgentLoopConfig = AgentLoopConfig(),
         init_params_override=None,
     ):
+        from rlinf_tpu.config import resolve_attn_impl
+
+        cfg = dataclasses.replace(cfg, attn_impl=resolve_attn_impl(cfg))
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.reward_fn = reward_fn

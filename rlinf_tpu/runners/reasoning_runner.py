@@ -55,6 +55,9 @@ class ReasoningRunner:
         mesh: Optional[jax.sharding.Mesh] = None,
         reward_fn=None,
     ):
+        from rlinf_tpu.config import resolve_attn_impl
+
+        cfg = dataclasses.replace(cfg, attn_impl=resolve_attn_impl(cfg))
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mesh = mesh

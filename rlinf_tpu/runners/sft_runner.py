@@ -7,6 +7,8 @@ checkpoint/metrics plumbing.
 
 from __future__ import annotations
 
+import dataclasses
+
 import time
 from typing import Dict, List, Optional
 
@@ -39,6 +41,9 @@ class SFTRunner:
         mesh=None,
         seq_bucket: int = 64,
     ):
+        from rlinf_tpu.config import resolve_attn_impl
+
+        cfg = dataclasses.replace(cfg, attn_impl=resolve_attn_impl(cfg))
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.seq_bucket = seq_bucket
