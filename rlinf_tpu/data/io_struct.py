@@ -28,6 +28,9 @@ class RolloutRequest:
     prompt_ids: List[List[int]]              # ragged token lists
     answers: Optional[List[str]] = None      # ground truth for rule rewards
     meta: Optional[List[dict]] = None
+    #: per-request decode budget override (reference: per-request sampling
+    #: params in the SGLang worker); None = the engine's max_new_tokens
+    max_new_tokens: Optional[List[int]] = None
 
     def repeat(self, group_size: int) -> "RolloutRequest":
         rep = lambda xs: None if xs is None else [
@@ -37,7 +40,13 @@ class RolloutRequest:
             prompt_ids=rep(self.prompt_ids),
             answers=rep(self.answers),
             meta=rep(self.meta),
+            max_new_tokens=rep(self.max_new_tokens),
         )
+
+    def budget_for(self, i: int, default: int) -> int:
+        if self.max_new_tokens is None:
+            return default
+        return int(self.max_new_tokens[i])
 
     def left_padded(self, pad_id: int, bucket: int = 64):
         """(prompt_ids [B, P], prompt_mask [B, P]) with P bucketed."""

@@ -332,7 +332,8 @@ class ContinuousBatchingEngine:
         while n_done < n_req:
             if pending:
                 entries = [
-                    (i, request.prompt_ids[i], sp.max_new_tokens)
+                    (i, request.prompt_ids[i],
+                     request.budget_for(i, sp.max_new_tokens))
                     for i in pending[: self.num_slots]
                 ]
                 rng, sub = jax.random.split(rng)

@@ -88,3 +88,33 @@ def test_continuous_long_prompt_truncation(setup):
         params, RolloutRequest(prompt_ids=[long_prompt]), jax.random.PRNGKey(0)
     )
     assert int(result.response_lengths[0]) == 4
+
+
+def test_per_request_budgets():
+    """RolloutRequest.max_new_tokens caps each request independently."""
+    import jax
+    import numpy as np
+
+    from rlinf_tpu.data.io_struct import RolloutRequest
+    from rlinf_tpu.models.llm import LLMConfig, init_params
+    from rlinf_tpu.models.llm.sampler import SamplingParams
+    from rlinf_tpu.rollout.continuous_engine import ContinuousBatchingEngine
+
+    cfg = LLMConfig.tiny(vocab_size=64, max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sp = SamplingParams(max_new_tokens=16, temperature=1.0, eos_token_id=-1)
+    eng = ContinuousBatchingEngine(
+        cfg, sp, num_slots=4, max_seq_len=64, prompt_bucket=16,
+        decode_chunk=4,
+    )
+    req = RolloutRequest(
+        prompt_ids=[[3, 4, 5]] * 6,
+        answers=[""] * 6,
+        max_new_tokens=[4, 8, 16, 4, 8, 16],
+    )
+    out = eng.rollout(params, req, jax.random.PRNGKey(1))
+    lens = out.response_mask.sum(1)
+    np.testing.assert_array_equal(lens, [4, 8, 16, 4, 8, 16])
+    # repeat() replicates budgets
+    rep = req.repeat(2)
+    assert rep.max_new_tokens == [4, 4, 8, 8, 16, 16, 4, 4, 8, 8, 16, 16]
