@@ -22,6 +22,10 @@ sys.path.insert(0, ".")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=192)
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--kv-quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--budget", type=int, default=0,
+                    help="fixed per-request budget (0 = long-tail mix)")
     ap.add_argument("--log-dir", default="logs/serving_bench")
     args = ap.parse_args()
 
@@ -40,15 +44,19 @@ def main():
 
     rng = np.random.default_rng(0)
     # long-tail mix: short chats + a few long generations
-    budgets = rng.choice([32, 64, 128, 256], size=args.requests,
-                         p=[0.35, 0.3, 0.25, 0.1])
+    if args.budget:
+        budgets = np.full(args.requests, args.budget)
+    else:
+        budgets = rng.choice([32, 64, 128, 256], size=args.requests,
+                             p=[0.35, 0.3, 0.25, 0.1])
     prompts = [list(rng.integers(2, cfg.vocab_size - 1,
                                  rng.integers(8, 192)))
                for _ in range(args.requests)]
     sp = SamplingParams(max_new_tokens=256, temperature=1.0, eos_token_id=-1)
     eng = ContinuousBatchingEngine(
-        cfg, sp, num_slots=64, max_seq_len=512, prompt_bucket=64,
+        cfg, sp, num_slots=args.slots, max_seq_len=512, prompt_bucket=64,
         decode_chunk=32, weight_quant="int8" if on_tpu else "none",
+        kv_quant=args.kv_quant,
         decode_attn_impl="pallas" if on_tpu else "xla",
     )
     request = RolloutRequest(
@@ -65,6 +73,8 @@ def main():
     gen_tokens = int(out.response_mask.sum())
     summary = {
         "requests": args.requests,
+        "slots": args.slots,
+        "kv_quant": args.kv_quant,
         "generated_tokens": gen_tokens,
         "seconds": round(dt, 3),
         "tokens_per_s": round(gen_tokens / dt, 1),

@@ -84,6 +84,7 @@ class RolloutConfig:
 
     engine: str = "auto"             # auto | static | continuous | paged
     weight_quant: str = "auto"       # auto | none | int8
+    kv_quant: str = "none"           # none | int8 (continuous engine only)
     num_slots: int = 32              # continuous/paged slot-pool size
     decode_chunk: int = 16           # decode steps per host round
     prompt_bucket: int = 64
@@ -362,6 +363,8 @@ def _validate_rollout(cfg: TrainerConfig):
         raise ValueError(f"unknown rollout.engine: {ro.engine!r}")
     if ro.weight_quant not in ("auto", "none", "int8"):
         raise ValueError(f"unknown rollout.weight_quant: {ro.weight_quant!r}")
+    if ro.kv_quant not in ("none", "int8"):
+        raise ValueError(f"unknown rollout.kv_quant: {ro.kv_quant!r}")
     if ro.engine == "paged" and ro.prompt_bucket % ro.page_size != 0:
         raise ValueError(
             f"rollout.prompt_bucket ({ro.prompt_bucket}) must be a multiple "

@@ -12,7 +12,9 @@ from rlinf_tpu.models.llm.model import (
     prefill,
     decode_step,
     decode_step_packed,
+    decode_step_packed_q8,
     init_kv_cache_packed,
+    init_kv_cache_packed_q8,
     packed_cache_from_stacked,
     lm_head_logits,
 )
@@ -37,7 +39,9 @@ __all__ = [
     "prefill",
     "decode_step",
     "decode_step_packed",
+    "decode_step_packed_q8",
     "init_kv_cache_packed",
+    "init_kv_cache_packed_q8",
     "packed_cache_from_stacked",
     "lm_head_logits",
     "QTensor",

@@ -597,3 +597,103 @@ def decode_step_layered(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     return x[:, 0, :], tuple(new_layers)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache decode (serving: cache bytes halve; see
+# ops/pallas/decode_attention.py q8 section)
+# ---------------------------------------------------------------------------
+
+PackedKVQ8Layers = Tuple[Tuple[jax.Array, jax.Array, jax.Array, jax.Array], ...]
+
+
+def init_kv_cache_packed_q8(
+    cfg: LLMConfig, batch: int, max_len: int
+) -> PackedKVQ8Layers:
+    """Per-layer (k int8 [B,S,KD], v int8, k_scale f32 [B,S], v_scale)."""
+    shape = (batch, max_len, cfg.kv_dim)
+    return tuple(
+        (jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+         jnp.ones((batch, max_len), jnp.float32),
+         jnp.ones((batch, max_len), jnp.float32))
+        for _ in range(cfg.num_layers)
+    )
+
+
+def quantize_packed_kv(k: jax.Array):
+    """[..., KD] -> (int8, f32 scale[...]) per token (max-abs / 127)."""
+    from rlinf_tpu.ops.pallas.decode_attention import quantize_kv_token
+
+    return quantize_kv_token(k)
+
+
+def decode_step_packed_q8(
+    params: Params,
+    cfg: LLMConfig,
+    token_ids: jax.Array,
+    kv_layers: PackedKVQ8Layers,
+    write_pos,
+    positions: jax.Array,
+    starts: jax.Array,
+    lengths: jax.Array,
+    *,
+    attn_impl: Optional[str] = None,
+) -> Tuple[jax.Array, PackedKVQ8Layers]:
+    """decode_step_packed on an int8 KV cache: new kv quantize-on-write
+    (per-token max-abs scale), attention via the q8 kernel (scales fold into
+    score/prob rows — no wide dequant)."""
+    from rlinf_tpu.ops.pallas.decode_attention import (
+        decode_attention_packed_q8,
+        decode_attention_packed_q8_xla,
+    )
+
+    B = token_ids.shape[0]
+    impl = attn_impl or default_decode_attn_impl()
+    kd = cfg.kv_dim
+    cos, sin = rope_frequencies(cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    x = params["embed"][token_ids][:, None, :].astype(cfg.compute_dtype)
+    pos = positions[:, None]
+    uniform_slot = jnp.ndim(write_pos) == 0
+    if not uniform_slot:
+        rows = jnp.arange(B)
+
+    new_layers = []
+    for i, (kc, vc, ksc, vsc) in enumerate(kv_layers):
+        layer = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+        h = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q, k, v = _project_qkv(cfg, layer, h, B, 1)
+        q, k = apply_rope(q, k, cos, sin, pos)
+        kq, ks = quantize_packed_kv(k.reshape(B, kd))
+        vq, vs = quantize_packed_kv(v.reshape(B, kd))
+        if uniform_slot:
+            kc = jax.lax.dynamic_update_slice(
+                kc, kq[:, None, :], (0, write_pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vq[:, None, :], (0, write_pos, 0))
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks[:, None], (0, write_pos))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs[:, None], (0, write_pos))
+        else:
+            kc = kc.at[rows, write_pos].set(kq)
+            vc = vc.at[rows, write_pos].set(vq)
+            ksc = ksc.at[rows, write_pos].set(ks)
+            vsc = vsc.at[rows, write_pos].set(vs)
+        qh = q.reshape(B, cfg.num_heads, cfg.head_dim_)
+        if impl == "pallas":
+            blk = kc.shape[1] if kc.shape[1] <= 512 else 512
+            attn = decode_attention_packed_q8(
+                qh, kc, vc, ksc, vsc, starts, lengths,
+                num_kv=cfg.num_kv_heads, block_size=blk,
+            )
+        else:
+            attn = decode_attention_packed_q8_xla(
+                qh, kc, vc, ksc, vsc, starts, lengths,
+                num_kv=cfg.num_kv_heads,
+            )
+        x = x + mm(attn.reshape(B, 1, cfg.q_dim), layer["wo"])
+        x, _ = _mlp_or_moe(cfg, x, layer)
+        new_layers.append((kc, vc, ksc, vsc))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    return x[:, 0, :], tuple(new_layers)

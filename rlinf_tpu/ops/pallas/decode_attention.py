@@ -249,3 +249,199 @@ def decode_attention_packed_xla(
     p = jnp.where(jnp.any(valid, -1)[:, None, None, None], p, 0.0)
     out = jnp.einsum("bkgs,bskd->bkgd", p.astype(q.dtype), v)
     return out.reshape(B, H, Hd)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized KV cache variant
+# ---------------------------------------------------------------------------
+#
+# Decode is KV-bandwidth-bound at serving batch sizes (at B=512 the cache is
+# ~5x the int8 weight bytes), so the cache itself is stored int8 with one
+# fp32 scale per (row, slot): k_vec ≈ k_q * ks. The scales FOLD INTO THE
+# SCORE/PROB ROWS instead of dequantizing the KD-wide blocks:
+#
+#   s = (q @ k^T) * ks[None, :]          (lane-wise on [Hp, BLK])
+#   out += (p * vs[None, :]) @ v          (lane-wise on [Hp, BLK])
+#
+# so the only wide op added is the int8->f32 cast of the block already being
+# read — HBM traffic halves, compute is unchanged.
+
+def _kernel_q8(
+    # scalar prefetch
+    starts_ref, lengths_ref, gfirst_ref, glast_ref,
+    # blocks
+    q_ref,          # [Rb, Hp, KD]
+    k_ref,          # [Rb, BLK, KD] int8
+    v_ref,          # [Rb, BLK, KD] int8
+    ks_ref,         # [Rb, BLK] f32
+    vs_ref,         # [Rb, BLK] f32
+    out_ref,        # [Rb, Hp, KD]
+    acc_ref, m_ref, l_ref,
+    *, block_size: int, block_rows: int, scale: float,
+):
+    g = pl.program_id(0)
+    j = pl.program_id(1)
+    n_blocks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    lo = j * block_size
+    for r in range(block_rows):
+        b = g * block_rows + r
+        start = starts_ref[b]
+        length = lengths_ref[b]
+
+        @pl.when((lo < length) & (lo + block_size > start))
+        def _block(r=r, start=start, length=length):
+            Hp = q_ref.shape[1]
+            q = q_ref[r].astype(jnp.float32)
+            k = k_ref[r].astype(jnp.float32)
+            v = v_ref[r].astype(jnp.float32)
+            ks = ks_ref[r].astype(jnp.float32)      # [BLK]
+            vs = vs_ref[r].astype(jnp.float32)
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale * ks[None, :]
+            pos = lo + jax.lax.broadcasted_iota(
+                jnp.int32, (Hp, block_size), 1
+            )
+            valid = (pos >= start) & (pos < length)
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_prev = m_ref[r, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            l_new = l_ref[r, :, :1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True
+            )
+            l_ref[r] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+            m_ref[r] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+            acc_ref[r] = acc_ref[r] * alpha + jax.lax.dot_general(
+                p * vs[None, :], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(j == n_blocks - 1)
+    def _finish():
+        out_ref[:] = (
+            acc_ref[:] / jnp.maximum(l_ref[:, :, :1], 1e-30)
+        ).astype(out_ref.dtype)
+
+
+def decode_attention_packed_q8(
+    q: jax.Array,          # [B, H, Hd]
+    k_cache: jax.Array,    # [B, S, Kv*Hd] int8
+    v_cache: jax.Array,    # [B, S, Kv*Hd] int8
+    k_scale: jax.Array,    # [B, S] f32
+    v_scale: jax.Array,    # [B, S] f32
+    starts: jax.Array,
+    lengths: jax.Array,
+    *,
+    num_kv: int,
+    scale: Optional[float] = None,
+    block_size: int = 256,
+    block_rows: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8-cache decode attention -> [B, H, Hd] in q.dtype."""
+    B, H, Hd = q.shape
+    S = k_cache.shape[1]
+    KD = num_kv * Hd
+    G = H // num_kv
+    if scale is None:
+        scale = Hd**-0.5
+    block_size = min(block_size, S)
+    n_blocks = pl.cdiv(S, block_size)
+    while B % block_rows:
+        block_rows //= 2
+    Hp = max(8, H)
+
+    head = jnp.arange(H) // G
+    lane = jnp.arange(KD)
+    band = (lane[None, :] >= (head * Hd)[:, None]) & (
+        lane[None, :] < ((head + 1) * Hd)[:, None]
+    )
+    q_tiled = jnp.tile(q, (1, 1, num_kv))[:, :, :KD]
+    q_packed = jnp.where(band[None], q_tiled, 0).astype(q.dtype)
+    if Hp > H:
+        q_packed = jnp.pad(q_packed, ((0, 0), (0, Hp - H), (0, 0)))
+
+    starts_g = starts.astype(jnp.int32).reshape(-1, block_rows)
+    lengths_g = lengths.astype(jnp.int32).reshape(-1, block_rows)
+    gfirst = jnp.min(starts_g, axis=1) // block_size
+    glast = jnp.maximum(
+        (jnp.max(lengths_g, axis=1) + block_size - 1) // block_size - 1, 0
+    )
+
+    def q_index(g, j, st, ln, gf, gl):
+        return (g, 0, 0)
+
+    def kv_index(g, j, st, ln, gf, gl):
+        return (g, jnp.clip(j, gf[g], gl[g]), 0)
+
+    def sc_index(g, j, st, ln, gf, gl):
+        return (g, jnp.clip(j, gf[g], gl[g]))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(B // block_rows, n_blocks),
+        in_specs=[
+            pl.BlockSpec((block_rows, Hp, KD), q_index),
+            pl.BlockSpec((block_rows, block_size, KD), kv_index),
+            pl.BlockSpec((block_rows, block_size, KD), kv_index),
+            pl.BlockSpec((block_rows, block_size), sc_index),
+            pl.BlockSpec((block_rows, block_size), sc_index),
+        ],
+        out_specs=pl.BlockSpec((block_rows, Hp, KD), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((block_rows, Hp, KD), jnp.float32),
+            pltpu.VMEM((block_rows, Hp, 128), jnp.float32),
+            pltpu.VMEM((block_rows, Hp, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_q8, block_size=block_size, block_rows=block_rows,
+            scale=scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, KD), q.dtype),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32),
+      gfirst, glast, q_packed, k_cache, v_cache,
+      k_scale.astype(jnp.float32), v_scale.astype(jnp.float32))
+    # einsum-diagonal unpack (see decode_attention_packed: XLA:TPU
+    # miscompiles the slice-stack form under jit)
+    out4 = out[:, :H].reshape(B, num_kv, G, num_kv, Hd)
+    eye = jnp.eye(num_kv, dtype=jnp.float32)
+    res = jnp.einsum("bkgjd,kj->bkgd", out4.astype(jnp.float32), eye)
+    return res.reshape(B, H, Hd).astype(q.dtype)
+
+
+def quantize_kv_token(k: jax.Array):
+    """[..., KD] f32/bf16 -> (int8 values, f32 scale[...]) per token."""
+    a = k.astype(jnp.float32)
+    s = jnp.max(jnp.abs(a), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(a / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def decode_attention_packed_q8_xla(
+    q, k_cache, v_cache, k_scale, v_scale, starts, lengths, *, num_kv,
+    scale=None,
+):
+    """Oracle: dequantize then run the f32 reference."""
+    k = k_cache.astype(jnp.float32) * k_scale[..., None]
+    v = v_cache.astype(jnp.float32) * v_scale[..., None]
+    return decode_attention_packed_xla(
+        q, k.astype(q.dtype), v.astype(q.dtype), starts, lengths,
+        num_kv=num_kv, scale=scale,
+    )

@@ -47,7 +47,11 @@ def resolve_recompute_logprobs(cfg, mesh=None) -> bool:
     if explicit is not None:
         return bool(explicit)
     _, quant, decode_attn = resolve_rollout_paths(cfg, mesh=mesh)
-    return quant != "none" or decode_attn != cfg.attn_impl
+    return (
+        quant != "none"
+        or cfg.rollout.kv_quant != "none"
+        or decode_attn != cfg.attn_impl
+    )
 
 
 def build_rollout_engine(cfg, mesh=None):
@@ -91,6 +95,7 @@ def build_rollout_engine(cfg, mesh=None):
             prompt_bucket=ro.prompt_bucket,
             decode_chunk=ro.decode_chunk,
             weight_quant=quant,
+            kv_quant=ro.kv_quant,
             decode_attn_impl=ro.decode_attn_impl,
             attn_impl=cfg.attn_impl,
         )

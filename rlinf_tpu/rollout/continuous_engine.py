@@ -83,9 +83,16 @@ class ContinuousBatchingEngine:
         prompt_bucket: int = 64,
         decode_chunk: int = 16,
         weight_quant: str = "none",
+        kv_quant: str = "none",
         decode_attn_impl: Optional[str] = None,
         attn_impl: str = "xla",
     ):
+        """``kv_quant='int8'``: the packed KV cache is stored int8 with one
+        f32 scale per (slot, token) — cache HBM traffic halves (decode is
+        cache-bandwidth-bound at large slot counts; the fp8-KV serving trick,
+        quantize-on-write, scales folded into the attention kernel's
+        score/prob rows). Behavior logprobs come from the quantized policy;
+        the runner's recompute-logprobs invariant keeps training unbiased."""
         self.cfg = cfg
         self.sampling = sampling
         self.num_slots = num_slots
@@ -93,6 +100,7 @@ class ContinuousBatchingEngine:
         self.prompt_bucket = prompt_bucket
         self.decode_chunk = decode_chunk
         self.weight_quant = weight_quant
+        self.kv_quant = kv_quant
         self.decode_attn_impl = decode_attn_impl
         self.attn_impl = attn_impl
 
@@ -123,14 +131,26 @@ class ContinuousBatchingEngine:
         )
         kd = self.cfg.kv_dim
         new_layers = []
-        for i, (kc, vc) in enumerate(kv_layers):
-            kc = kc.at[slot_ids, :P].set(
-                kv.k[i].reshape(R, P, kd).astype(kc.dtype)
-            )
-            vc = vc.at[slot_ids, :P].set(
-                kv.v[i].reshape(R, P, kd).astype(vc.dtype)
-            )
-            new_layers.append((kc, vc))
+        if self.kv_quant == "int8":
+            from rlinf_tpu.models.llm.model import quantize_packed_kv
+
+            for i, (kc, vc, ksc, vsc) in enumerate(kv_layers):
+                kq, ks = quantize_packed_kv(kv.k[i].reshape(R, P, kd))
+                vq, vs = quantize_packed_kv(kv.v[i].reshape(R, P, kd))
+                kc = kc.at[slot_ids, :P].set(kq)
+                vc = vc.at[slot_ids, :P].set(vq)
+                ksc = ksc.at[slot_ids, :P].set(ks)
+                vsc = vsc.at[slot_ids, :P].set(vs)
+                new_layers.append((kc, vc, ksc, vsc))
+        else:
+            for i, (kc, vc) in enumerate(kv_layers):
+                kc = kc.at[slot_ids, :P].set(
+                    kv.k[i].reshape(R, P, kd).astype(kc.dtype)
+                )
+                vc = vc.at[slot_ids, :P].set(
+                    kv.v[i].reshape(R, P, kd).astype(vc.dtype)
+                )
+                new_layers.append((kc, vc))
 
         plens = jnp.sum(prompt_mask.astype(jnp.int32), axis=-1)     # [R]
         last = jnp.maximum(plens - 1, 0)
@@ -157,7 +177,11 @@ class ContinuousBatchingEngine:
         def step(carry, _):
             kv_layers, lengths, done, tok, rng = carry
             write_pos = jnp.minimum(lengths, S - 1)
-            hidden, kv_layers = M.decode_step_packed(
+            step_fn = (
+                M.decode_step_packed_q8 if self.kv_quant == "int8"
+                else M.decode_step_packed
+            )
+            hidden, kv_layers = step_fn(
                 dparams, self.cfg, tok, kv_layers, write_pos,
                 positions=write_pos, starts=starts, lengths=write_pos + 1,
                 attn_impl=self.decode_attn_impl,
@@ -183,8 +207,12 @@ class ContinuousBatchingEngine:
 
     # -- pool core (shared by generate() and GenerationServer) -----------
     def init_pool(self) -> _Pool:
+        init_cache = (
+            M.init_kv_cache_packed_q8 if self.kv_quant == "int8"
+            else M.init_kv_cache_packed
+        )
         return _Pool(
-            kv_layers=M.init_kv_cache_packed(
+            kv_layers=init_cache(
                 self.cfg, self.num_slots, self.max_seq_len
             ),
             lengths=jnp.zeros((self.num_slots,), jnp.int32),

@@ -118,3 +118,33 @@ def test_per_request_budgets():
     # repeat() replicates budgets
     rep = req.repeat(2)
     assert rep.max_new_tokens == [4, 4, 8, 8, 16, 16, 4, 4, 8, 8, 16, 16]
+
+
+def test_kv_quant_int8_engine():
+    """kv_quant='int8': the slot pool stores int8 caches + scales; rollouts
+    complete and behavior logprobs stay close to the bf16-cache engine."""
+    import jax
+    import numpy as np
+
+    from rlinf_tpu.data.io_struct import RolloutRequest
+    from rlinf_tpu.models.llm import LLMConfig, init_params
+    from rlinf_tpu.models.llm.sampler import SamplingParams
+    from rlinf_tpu.rollout.continuous_engine import ContinuousBatchingEngine
+
+    cfg = LLMConfig.tiny(vocab_size=64, max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sp = SamplingParams(max_new_tokens=8, temperature=1.0, greedy=True,
+                        eos_token_id=-1)
+    req = RolloutRequest(prompt_ids=[[3, 4, 5, 6]] * 8, answers=[""] * 8)
+    outs = {}
+    for kvq in ("none", "int8"):
+        eng = ContinuousBatchingEngine(
+            cfg, sp, num_slots=8, max_seq_len=32, prompt_bucket=16,
+            decode_chunk=4, kv_quant=kvq,
+        )
+        outs[kvq] = eng.rollout(params, req, jax.random.PRNGKey(1))
+    a, b = outs["none"], outs["int8"]
+    assert b.response_mask.sum() == a.response_mask.sum()
+    # greedy tokens may diverge on near-ties; logprob magnitudes stay close
+    lp_diff = np.abs(a.response_logprobs - b.response_logprobs).mean()
+    assert lp_diff < 0.2, lp_diff

@@ -114,3 +114,58 @@ def test_bf16_inputs():
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_q8_kernel_matches_oracle():
+    """int8-KV kernel vs its dequantize-then-reference oracle (exact
+    semantics: both consume the same quantized cache)."""
+    import functools
+    from rlinf_tpu.ops.pallas.decode_attention import (
+        decode_attention_packed_q8, decode_attention_packed_q8_xla,
+        quantize_kv_token,
+    )
+
+    for B, S, H, Kv, Hd, blk in [(8, 128, 4, 2, 64, 256),
+                                 (16, 256, 8, 4, 32, 64)]:
+        KD = Kv * Hd
+        ks = jax.random.split(jax.random.PRNGKey(B), 3)
+        q = jax.random.normal(ks[0], (B, H, Hd), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, KD), jnp.float32) * 0.3
+        v = jax.random.normal(ks[2], (B, S, KD), jnp.float32) * 0.3
+        kq, kscale = quantize_kv_token(k)
+        vq, vscale = quantize_kv_token(v)
+        starts = jnp.zeros((B,), jnp.int32)
+        lengths = (jnp.arange(B, dtype=jnp.int32) * 7) % (S - 4) + 3
+        a = decode_attention_packed_q8(
+            q, kq, vq, kscale, vscale, starts, lengths, num_kv=Kv,
+            block_size=blk, interpret=True)
+        b = decode_attention_packed_q8_xla(
+            q, kq, vq, kscale, vscale, starts, lengths, num_kv=Kv)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_q8_quantization_error_bounded():
+    """q8 vs exact bf16 attention: per-token max-abs int8 keeps the output
+    within ~1% relative."""
+    from rlinf_tpu.ops.pallas.decode_attention import (
+        decode_attention_packed_q8_xla, decode_attention_packed_xla,
+        quantize_kv_token,
+    )
+
+    B, S, H, Kv, Hd = 8, 64, 4, 2, 32
+    KD = Kv * Hd
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, Hd), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, KD), jnp.float32) * 0.5
+    v = jax.random.normal(ks[2], (B, S, KD), jnp.float32) * 0.5
+    kq, kscale = quantize_kv_token(k)
+    vq, vscale = quantize_kv_token(v)
+    starts = jnp.zeros((B,), jnp.int32)
+    lengths = jnp.full((B,), S, jnp.int32)
+    exact = decode_attention_packed_xla(q, k, v, starts, lengths, num_kv=Kv)
+    quant = decode_attention_packed_q8_xla(
+        q, kq, vq, kscale, vscale, starts, lengths, num_kv=Kv)
+    err = float(np.abs(np.asarray(exact) - np.asarray(quant)).max())
+    scale = float(np.abs(np.asarray(exact)).max())
+    assert err < 0.03 * scale, (err, scale)
