@@ -262,8 +262,38 @@ def check_continuous_engine() -> dict:
     return _engine_parity("continuous")
 
 
+def check_q8_decode_kernel() -> dict:
+    from rlinf_tpu.ops.pallas.decode_attention import (
+        decode_attention_packed_q8,
+        decode_attention_packed_q8_xla,
+        quantize_kv_token,
+    )
+
+    B, S, H, Kv, Hd = 32, 512, 14, 2, 64
+    KD = Kv * Hd
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, Hd), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, S, KD), jnp.float32) * 0.3
+    v = jax.random.normal(ks[2], (B, S, KD), jnp.float32) * 0.3
+    kq, kscale = quantize_kv_token(k)
+    vq, vscale = quantize_kv_token(v)
+    starts = jnp.zeros((B,), jnp.int32)
+    lengths = (jnp.arange(B, dtype=jnp.int32) % (S - 8)) + 5
+    pf = jax.jit(functools.partial(decode_attention_packed_q8, num_kv=Kv,
+                                   block_size=512))
+    xf = jax.jit(functools.partial(decode_attention_packed_q8_xla, num_kv=Kv))
+    a = np.asarray(jax.device_get(
+        pf(q, kq, vq, kscale, vscale, starts, lengths)), np.float32)
+    b = np.asarray(jax.device_get(
+        xf(q, kq, vq, kscale, vscale, starts, lengths)), np.float32)
+    err = float(np.abs(a - b).max())
+    assert err < 0.01, f"q8 decode kernel parity FAILED on-chip: {err:.5f}"
+    return {"max_err": err}
+
+
 CHECKS = [
     ("decode_kernel", check_decode_kernel),
+    ("q8_decode_kernel", check_q8_decode_kernel),
     ("decode_in_model", check_decode_in_model),
     ("flash_train_step", check_flash_train_step),
     ("paged_kernel", check_paged_kernel),
