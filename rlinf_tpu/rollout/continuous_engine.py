@@ -306,10 +306,20 @@ class ContinuousBatchingEngine:
             decode_params, pool.kv_layers, pool.lengths, pool.done,
             pool.cur_tokens, rng, K,
         )
-        toks_np = np.asarray(toks)          # [K, B]
-        lps_np = np.asarray(lps)
-        was_done_np = np.asarray(was_done)  # done BEFORE each step
-        done_np = np.asarray(pool.done)
+        # one host sync for the whole chunk; per-slot appends are numpy
+        # slices (the python-per-token harvest was the serving bottleneck at
+        # large slot counts: O(slots x K) int()/append per chunk)
+        toks_np, lps_np, was_done_np, done_np = jax.device_get(
+            (toks, lps, was_done, pool.done)
+        )
+        toks_np = np.asarray(toks_np)       # [K, B]
+        lps_np = np.asarray(lps_np)
+        was_done_np = np.asarray(was_done_np)  # done BEFORE each step
+        done_np = np.asarray(done_np)
+        any_done = was_done_np.any(axis=0)               # [B]
+        first_done = np.where(
+            any_done, np.argmax(was_done_np, axis=0), K
+        )                                                # [B]
 
         finished: List[_Finished] = []
         free_mask = np.zeros((self.num_slots,), bool)
@@ -317,11 +327,10 @@ class ContinuousBatchingEngine:
             sl = pool.slots[s]
             if sl.request_idx < 0:
                 continue
-            for k in range(K):
-                if was_done_np[k, s] or len(sl.tokens) >= sl.budget:
-                    break
-                sl.tokens.append(int(toks_np[k, s]))
-                sl.logprobs.append(float(lps_np[k, s]))
+            take = min(int(first_done[s]), sl.budget - len(sl.tokens))
+            if take > 0:
+                sl.tokens.extend(toks_np[:take, s].tolist())
+                sl.logprobs.extend(lps_np[:take, s].tolist())
             if (
                 bool(done_np[s])
                 or len(sl.tokens) >= sl.budget
