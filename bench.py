@@ -95,7 +95,10 @@ def main():
             sys.exit(1)
 
     if on_tpu:
-        cfg = LLMConfig.qwen2_0_5b()
+        # RLINF_BENCH_MODEL picks the preset (default flagship 0.5B; the
+        # 1.5B fits this chip for scaling studies — see logs/bench_15b.log)
+        preset = os.environ.get("RLINF_BENCH_MODEL", "qwen2_0_5b")
+        cfg = getattr(LLMConfig, preset)()
         # One GRPO step's shapes: 64 rollouts of 256 prompt + 256 response
         # tokens, then training on the same rows (bucketed to 256 — the
         # committed math proof trains on <=256-token rows). Measured r3 on
