@@ -115,10 +115,13 @@ def main():
         n_iters = 2
 
     rng = jax.random.PRNGKey(0)
-    params = init_params(cfg, rng)
 
     # ---------------- train phase ----------------
-    tx = make_optimizer(OptimizerConfig(lr=1e-6))
+    # big presets need the factored optimizer to fit one chip's HBM
+    big = on_tpu and cfg.num_params() > 1e9
+    tx = make_optimizer(OptimizerConfig(
+        lr=1e-6, name="adafactor" if big else "adamw",
+    ))
     state = create_train_state(lambda r: init_params(cfg, r), tx, rng)
     train_step = make_policy_train_step(
         cfg, PolicyLossConfig(logprob_chunk_size=256), tx, remat=True
