@@ -83,11 +83,19 @@ def _make_runner(max_steps=50):
 
 def test_vlm_grpo_learns_visual_reward():
     runner = _make_runner()
-    history = runner.run(max_steps=45)
+    history = runner.run(max_steps=60)
     first5 = np.mean([h["rollout/reward_mean"] for h in history[:5]])
     last5 = np.mean([h["rollout/reward_mean"] for h in history[-5:]])
     assert last5 > first5 + 0.05, (
         f"no visual learning: {first5:.4f} -> {last5:.4f}"
+    )
+    # An image-BLIND policy that always emits its single favourite color
+    # letter caps at mean reward 1/3 (colors are balanced); beating that
+    # ceiling proves the policy reads the image. Measured on this seed:
+    # ~0.65 at step 60.
+    assert last5 > 0.45, (
+        f"reward {last5:.3f} within the unconditional ceiling (1/3) — "
+        "the policy is not using the image"
     )
     # behavior and training logprobs are the same computation here
     assert abs(history[0]["actor/approx_kl"]) < 1e-3
