@@ -479,10 +479,13 @@ def _packed_decode_attn(
     if impl == "pallas":
         # One block per cache row: fewer grid steps wins over partial-length
         # DMA skipping at serving cache sizes (measured on v5e); blocks of
-        # 512 re-enable skipping for long-context caches.
+        # 512 re-enable skipping for long-context caches. block_rows=4 at
+        # 512-blocks measured 602us vs 700us for 8 rows (B=64, S=512, 14h).
         blk = kc.shape[1] if kc.shape[1] <= 512 else 512
+        rows = 4 if blk >= 512 else 8
         return decode_attention_packed(
-            q, kc, vc, starts, lengths, num_kv=num_kv, block_size=blk
+            q, kc, vc, starts, lengths, num_kv=num_kv, block_size=blk,
+            block_rows=rows,
         )
     return decode_attention_packed_xla(
         q, kc, vc, starts, lengths, num_kv=num_kv
