@@ -91,25 +91,30 @@ class PagedContinuousEngine(ContinuousBatchingEngine):
     # -- jitted internals ----------------------------------------------------
     def _prefill_paged_impl(self, params, k_layers, v_layers, prompt_ids,
                             prompt_mask, page_ids):
-        """Prefill one prompt [1, Pb] (Pb multiple of page_size) and scatter
-        its KV into ``page_ids`` ([Pb/page_size]) of every layer's pool."""
+        """BATCHED prefill [R, Pb] (Pb multiple of page_size), scattering
+        each row's KV into its ``page_ids`` row ([R, Pb/page_size]) of every
+        layer's pool. Grouped power-of-two R keeps the compile count bounded
+        (same strategy as the dense engine's refill)."""
         hidden, kv = M.forward_hidden(
             params, self.cfg, prompt_ids, attention_mask=prompt_mask,
             return_kv=True,
         )
-        Pb = prompt_ids.shape[1]
+        R, Pb = prompt_ids.shape
         n_pages = Pb // self.page_size
         Kv, Hd = self.cfg.num_kv_heads, self.cfg.head_dim_
         new_k, new_v = [], []
         for i in range(self.cfg.num_layers):
-            # kv.k[i]: [1, Pb, Kv, Hd] -> [n_pages, Kv, P, Hd]
-            kk = kv.k[i][0].reshape(n_pages, self.page_size, Kv, Hd)
-            vv = kv.v[i][0].reshape(n_pages, self.page_size, Kv, Hd)
-            new_k.append(k_layers[i].at[page_ids].set(kk.swapaxes(1, 2)))
-            new_v.append(v_layers[i].at[page_ids].set(vv.swapaxes(1, 2)))
-        last = jnp.sum(prompt_mask[0].astype(jnp.int32)) - 1
+            # kv.k[i]: [R, Pb, Kv, Hd] -> [R, n_pages, Kv, P, Hd]
+            kk = kv.k[i].reshape(R, n_pages, self.page_size, Kv, Hd)
+            vv = kv.v[i].reshape(R, n_pages, self.page_size, Kv, Hd)
+            new_k.append(k_layers[i].at[page_ids].set(kk.swapaxes(2, 3)))
+            new_v.append(v_layers[i].at[page_ids].set(vv.swapaxes(2, 3)))
+        last = jnp.sum(prompt_mask.astype(jnp.int32), axis=1) - 1   # [R]
+        last_h = jnp.take_along_axis(
+            hidden, last[:, None, None], axis=1
+        )[:, 0]
         w_lm = M.lm_head_weight(params, self.cfg)
-        logits = (hidden[0, last] @ w_lm).astype(jnp.float32)
+        logits = (last_h @ w_lm).astype(jnp.float32)                # [R, V]
         return tuple(new_k), tuple(new_v), logits
 
     def _attend(self, q, k_pool, v_pool, page_table, lengths):
@@ -194,40 +199,65 @@ class PagedContinuousEngine(ContinuousBatchingEngine):
 
         active = 0
         while pending or active > 0:
-            # 1. refill free slots (prefill prompt into fresh pages)
-            for s in range(self.num_slots):
+            # 1. refill free slots: admit prompts (page backpressure), then
+            # prefill in BATCHED groups by bucketed length (power-of-two
+            # group sizes bound the compile count, like the dense engine)
+            admitted = []        # (slot, req, ids, Pb)
+            free_slots = [s for s in range(self.num_slots)
+                          if slots[s].request_idx < 0]
+            for s in free_slots:
                 if not pending:
                     break
-                if slots[s].request_idx >= 0:
-                    continue
-                req_candidates = pending[0]
-                ids = request.prompt_ids[req_candidates][
-                    -(self.max_seq_len - sp.max_new_tokens):]
+                req = pending[0]
+                budget = request.budget_for(req, sp.max_new_tokens)
+                ids = request.prompt_ids[req][
+                    -(self.max_seq_len - budget):]
                 Pb = bucket(len(ids))
                 if not pool.can_alloc(Pb):
                     break  # backpressure: wait for slots to free pages
                 pending.pop(0)
-                req = req_candidates
                 pool.alloc_slot(s, Pb)          # claim the padded region
                 pool.lengths[s] = len(ids)      # but only real tokens count
-                n_pg = Pb // self.page_size
-                page_ids = jnp.asarray(pool.page_table[s, :n_pg])
-                prompt = np.zeros((1, Pb), np.int32)
-                mask = np.zeros((1, Pb), bool)
-                prompt[0, : len(ids)] = ids
-                mask[0, : len(ids)] = True
-                k_layers, v_layers, logits = self._prefill_paged(
-                    params, k_layers, v_layers,
-                    jnp.asarray(prompt), jnp.asarray(mask), page_ids,
-                )
-                rng, sub = jax.random.split(rng)
-                tok, lp = sample_from_logits(sub, logits[None], sp)
-                tok_i, lp_i = int(tok[0]), float(lp[0])
-                slots[s] = _Slot(request_idx=req, prompt_len=len(ids),
-                                 tokens=[tok_i], logprobs=[lp_i])
-                done_np[s] = tok_i == sp.eos_token_id or sp.max_new_tokens <= 1
-                cur_tok_np[s] = tok_i
-                active += 1
+                admitted.append((s, req, ids, Pb, budget))
+
+            by_pb = {}
+            for entry in admitted:
+                by_pb.setdefault(entry[3], []).append(entry)
+            for Pb, entries in by_pb.items():
+                while entries:
+                    r = 1
+                    while r * 2 <= len(entries):
+                        r *= 2
+                    group, entries = entries[:r], entries[r:]
+                    n_pg = Pb // self.page_size
+                    prompt = np.zeros((r, Pb), np.int32)
+                    mask = np.zeros((r, Pb), bool)
+                    page_ids = np.zeros((r, n_pg), np.int32)
+                    for j, (s, req, ids, _, _) in enumerate(group):
+                        prompt[j, : len(ids)] = ids
+                        mask[j, : len(ids)] = True
+                        page_ids[j] = pool.page_table[s, :n_pg]
+                    k_layers, v_layers, logits = self._prefill_paged(
+                        params, k_layers, v_layers,
+                        jnp.asarray(prompt), jnp.asarray(mask),
+                        jnp.asarray(page_ids),
+                    )
+                    rng, sub = jax.random.split(rng)
+                    tok, lp = sample_from_logits(sub, logits, sp)
+                    tok_np = np.asarray(tok)
+                    lp_np = np.asarray(lp)
+                    for j, (s, req, ids, _, budget) in enumerate(group):
+                        tok_i, lp_i = int(tok_np[j]), float(lp_np[j])
+                        slots[s] = _Slot(
+                            request_idx=req, prompt_len=len(ids),
+                            budget=budget,
+                            tokens=[tok_i], logprobs=[lp_i],
+                        )
+                        done_np[s] = (
+                            tok_i == sp.eos_token_id or budget <= 1
+                        )
+                        cur_tok_np[s] = tok_i
+                        active += 1
 
             if active == 0:
                 break
@@ -257,29 +287,31 @@ class PagedContinuousEngine(ContinuousBatchingEngine):
                 jnp.asarray(done_np), jnp.asarray(cur_tok_np), sub,
                 jnp.asarray(pad_mask), K,
             )
-            toks_np = np.asarray(toks)
-            lps_np = np.asarray(lps)
-            was_done_np = np.asarray(was_done)
-            done_np = np.asarray(done_j).copy()
-            cur_tok_np = np.asarray(cur_j).copy()
+            toks_np, lps_np, was_done_np, done_np, cur_tok_np = (
+                jax.device_get((toks, lps, was_done, done_j, cur_j))
+            )
+            toks_np = np.asarray(toks_np)
+            lps_np = np.asarray(lps_np)
+            was_done_np = np.asarray(was_done_np)
+            done_np = np.asarray(done_np).copy()
+            cur_tok_np = np.asarray(cur_tok_np).copy()
+            any_done = was_done_np.any(axis=0)
+            first_done = np.where(
+                any_done, np.argmax(was_done_np, axis=0), K
+            )
 
-            # 4. harvest (same policy as the dense engine)
+            # 4. harvest (vectorized like the dense engine)
             for s in range(self.num_slots):
                 sl = slots[s]
                 if sl.request_idx < 0:
                     continue
-                consumed = 0
-                for k in range(K):
-                    if was_done_np[k, s]:
-                        break
-                    if len(sl.tokens) >= sp.max_new_tokens:
-                        break
-                    sl.tokens.append(int(toks_np[k, s]))
-                    sl.logprobs.append(float(lps_np[k, s]))
-                    consumed += 1
+                take = min(int(first_done[s]), sl.budget - len(sl.tokens))
+                if take > 0:
+                    sl.tokens.extend(toks_np[:take, s].tolist())
+                    sl.logprobs.extend(lps_np[:take, s].tolist())
                 finished = (
                     bool(done_np[s])
-                    or len(sl.tokens) >= sp.max_new_tokens
+                    or len(sl.tokens) >= sl.budget
                     or sl.prompt_len + len(sl.tokens) >= self.max_seq_len
                 )
                 if finished:
@@ -287,8 +319,8 @@ class PagedContinuousEngine(ContinuousBatchingEngine):
                     if sp.eos_token_id in tokens:
                         cut = tokens.index(sp.eos_token_id) + 1
                         tokens, lps_list = tokens[:cut], lps_list[:cut]
-                    results_tokens[sl.request_idx] = tokens[: sp.max_new_tokens]
-                    results_lps[sl.request_idx] = lps_list[: sp.max_new_tokens]
+                    results_tokens[sl.request_idx] = tokens[: sl.budget]
+                    results_lps[sl.request_idx] = lps_list[: sl.budget]
                     slots[s] = _Slot()
                     pool.free_slot(s)
                     done_np[s] = True
