@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--requests", type=int, default=192)
     ap.add_argument("--slots", type=int, default=64)
     ap.add_argument("--kv-quant", default="none", choices=["none", "int8"])
+    ap.add_argument("--engine", default="continuous",
+                    choices=["continuous", "paged"])
     ap.add_argument("--budget", type=int, default=0,
                     help="fixed per-request budget (0 = long-tail mix)")
     ap.add_argument("--log-dir", default="logs/serving_bench")
@@ -53,12 +55,21 @@ def main():
                                  rng.integers(8, 192)))
                for _ in range(args.requests)]
     sp = SamplingParams(max_new_tokens=256, temperature=1.0, eos_token_id=-1)
-    eng = ContinuousBatchingEngine(
-        cfg, sp, num_slots=args.slots, max_seq_len=512, prompt_bucket=64,
-        decode_chunk=32, weight_quant="int8" if on_tpu else "none",
-        kv_quant=args.kv_quant,
-        decode_attn_impl="pallas" if on_tpu else "xla",
-    )
+    if args.engine == "paged":
+        from rlinf_tpu.rollout.paged_engine import PagedContinuousEngine
+
+        eng = PagedContinuousEngine(
+            cfg, sp, num_slots=args.slots, max_seq_len=512,
+            prompt_bucket=64, decode_chunk=32, page_size=16,
+            attn_impl="pallas" if on_tpu else "xla",
+        )
+    else:
+        eng = ContinuousBatchingEngine(
+            cfg, sp, num_slots=args.slots, max_seq_len=512, prompt_bucket=64,
+            decode_chunk=32, weight_quant="int8" if on_tpu else "none",
+            kv_quant=args.kv_quant,
+            decode_attn_impl="pallas" if on_tpu else "xla",
+        )
     request = RolloutRequest(
         prompt_ids=[[int(t) for t in p] for p in prompts],
         answers=[""] * args.requests,
@@ -74,6 +85,7 @@ def main():
     summary = {
         "requests": args.requests,
         "slots": args.slots,
+        "engine": args.engine,
         "kv_quant": args.kv_quant,
         "generated_tokens": gen_tokens,
         "seconds": round(dt, 3),
