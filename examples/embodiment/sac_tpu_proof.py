@@ -34,36 +34,53 @@ def main():
     os.makedirs(args.log_dir, exist_ok=True)
     print(f"[sac] backend={jax.default_backend()}", flush=True)
 
+    from rlinf_tpu.training.sac_learner import SACConfig
+
     runner = AsyncEmbodiedRunner(
         AsyncRunnerConfig(
             total_train_steps=args.steps, rollout_chunk_steps=4,
-            log_dir=args.log_dir,
+            train_batch_size=128, warmup_transitions=256,
+            weight_sync_interval=5, updates_per_chunk=4.0,
+            replay_capacity=200, seed=0, log_dir=args.log_dir,
         ),
         envs=[BanditEnv(num_envs=32, seed=0)],
-        policy=MLPSACPolicy(obs_dim=2, action_dim=2),
+        policy=MLPSACPolicy(obs_dim=2, action_dim=2, hidden_sizes=(64, 64)),
+        sac=SACConfig(gamma=0.0, learn_alpha=True),  # bandit: no bootstrap
     )
     t0 = time.perf_counter()
     hist = runner.run()
     dt = time.perf_counter() - t0
 
-    rets = [h["env/episode_return"] for h in hist
-            if "env/episode_return" in h]
-    k = max(3, len(rets) // 8)
-    first, last = float(np.mean(rets[:k])), float(np.mean(rets[-k:]))
-    ev = runner.evaluate(BanditEnv(num_envs=64, seed=123), num_steps=4)
-    eval_ret = float(ev.get("eval/env/episode_return", -99))
+    # bandit episodes are 1-step; grade the DETERMINISTIC policy directly:
+    # reward = -||a - target||^2, so near-0 mean reward == solved (an
+    # untrained policy scores ~ -0.9 on this env).
+    def mean_reward(params):
+        env = BanditEnv(num_envs=256, seed=123)
+        obs = env.reset()
+        out = runner.policy.predict_action_batch(
+            params, jax.random.PRNGKey(0),
+            {k: jax.numpy.asarray(v) for k, v in obs.items()},
+            deterministic=True,
+        )
+        step = env.step(np.asarray(runner.policy.env_actions(out.actions)))
+        return float(np.mean(step.reward))
+
+    eval_ret = mean_reward(runner.state.params)
+    # run() returns the FINAL metrics dict (async runner); curve comes from
+    # the jsonl log
+    q1 = [float(hist.get("sac/q1_mean", 0.0))] if isinstance(hist, dict) \
+        else [h["sac/q1_mean"] for h in hist if "sac/q1_mean" in h]
     print(f"[sac] {args.steps} learner steps in {dt:.1f}s  "
-          f"return {first:.3f} -> {last:.3f}  eval {eval_ret:.3f}", flush=True)
+          f"eval mean reward {eval_ret:.4f}", flush=True)
 
     parity.save_baseline(
-        os.path.join(args.log_dir, "baseline_return.json"), rets,
-        meta={"task": "sac_bandit_tpu", "metric": "env/episode_return",
+        os.path.join(args.log_dir, "baseline_q1.json"), q1,
+        meta={"task": "sac_bandit_tpu", "metric": "sac/q1_mean",
               "steps": args.steps, "backend": jax.default_backend()},
     )
     summary = {
-        "return_first": first, "return_last": last,
-        "eval_return": eval_ret,
-        "improved": last > first + 0.1 and eval_ret > -0.2,
+        "eval_mean_reward": eval_ret,
+        "improved": eval_ret > -0.2,
         "seconds": dt, "backend": jax.default_backend(),
     }
     with open(os.path.join(args.log_dir, "summary.json"), "w") as f:
