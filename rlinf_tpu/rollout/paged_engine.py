@@ -264,17 +264,11 @@ class PagedContinuousEngine(ContinuousBatchingEngine):
 
             # 2. chunk-ahead page allocation for K steps
             K = self.decode_chunk
-            write_pages = np.zeros((K, self.num_slots), np.int32)
-            write_offsets = np.zeros((K, self.num_slots), np.int32)
             base_len = pool.lengths.copy()
             pad_mask = np.array([sl.request_idx < 0 for sl in slots])
-            for k in range(K):
-                for s in range(self.num_slots):
-                    if slots[s].request_idx < 0:
-                        continue
-                    pid, off = pool.append_token(s)
-                    write_pages[k, s] = pid
-                    write_offsets[k, s] = off
+            write_pages, write_offsets = pool.append_tokens_chunk(
+                ~pad_mask, K
+            )
             page_table_snapshot = pool.page_table.copy()
 
             # 3. jitted K-step decode

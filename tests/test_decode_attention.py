@@ -169,3 +169,33 @@ def test_q8_quantization_error_bounded():
     err = float(np.abs(np.asarray(exact) - np.asarray(quant)).max())
     scale = float(np.abs(np.asarray(exact)).max())
     assert err < 0.03 * scale, (err, scale)
+
+
+def test_q8_decode_step_matches_bf16():
+    """decode_step_packed_q8 (quantize-on-write int8 cache) stays close to
+    the exact-cache decode step at the hidden-state level."""
+    from rlinf_tpu.models.llm.model import (
+        LLMConfig, decode_step_packed, decode_step_packed_q8,
+        init_kv_cache_packed, init_kv_cache_packed_q8, init_params,
+    )
+
+    cfg = LLMConfig(vocab_size=64, hidden_size=64, num_layers=2, num_heads=4,
+                    num_kv_heads=2, head_dim=16, intermediate_size=96,
+                    max_seq_len=64, dtype="float32")
+    p = init_params(cfg, jax.random.PRNGKey(0))
+    B, S = 4, 32
+    toks = jnp.arange(B) + 3
+    wp = jnp.arange(B, dtype=jnp.int32)
+    starts = jnp.zeros((B,), jnp.int32)
+    h8, c8 = decode_step_packed_q8(
+        p, cfg, toks, init_kv_cache_packed_q8(cfg, B, S), wp, wp, starts,
+        wp + 1, attn_impl="xla")
+    h, _ = decode_step_packed(
+        p, cfg, toks, init_kv_cache_packed(cfg, B, S), wp, wp, starts,
+        wp + 1, attn_impl="xla")
+    err = float(np.abs(np.asarray(h8, np.float32)
+                       - np.asarray(h, np.float32)).max())
+    assert err < 0.05, err
+    # cache holds int8 values + f32 scales
+    kc, vc, ks, vs = c8[0]
+    assert kc.dtype == jnp.int8 and ks.dtype == jnp.float32
