@@ -462,6 +462,26 @@ def default_decode_attn_impl() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _decode_block_config(S: int, KD: int):
+    """(block_size, block_rows) for the packed decode kernel.
+
+    One block per cache row when it fits: fewer grid steps beat
+    partial-length DMA skipping at serving sizes; block_rows=4 at 512-wide
+    blocks measured 602us vs 700us for 8 rows (v5e, B=64, S=512, KD=128).
+    Wide-KD models (e.g. Kv=8, Hd=128 -> KD=1024) must shrink the block to
+    stay inside VMEM — blocks over ~2MB fail to compile on v5e (verified:
+    KD=1024 dies at 512x4 and 512x2, works at 256x2).
+    """
+    blk = S if S <= 512 else 512
+    rows = 4 if blk >= 512 else 8
+    budget = 2 << 20                       # bytes per kv operand block
+    while rows > 2 and rows * blk * KD * 2 > budget:
+        rows //= 2
+    while blk > 128 and rows * blk * KD * 2 > budget:
+        blk //= 2
+    return blk, rows
+
+
 def _packed_decode_attn(
     q: jax.Array,          # [B, H, Hd]
     kc: jax.Array,         # [B, S, K*Hd]
@@ -477,12 +497,7 @@ def _packed_decode_attn(
     )
 
     if impl == "pallas":
-        # One block per cache row: fewer grid steps wins over partial-length
-        # DMA skipping at serving cache sizes (measured on v5e); blocks of
-        # 512 re-enable skipping for long-context caches. block_rows=4 at
-        # 512-blocks measured 602us vs 700us for 8 rows (B=64, S=512, 14h).
-        blk = kc.shape[1] if kc.shape[1] <= 512 else 512
-        rows = 4 if blk >= 512 else 8
+        blk, rows = _decode_block_config(kc.shape[1], kc.shape[2])
         return decode_attention_packed(
             q, kc, vc, starts, lengths, num_kv=num_kv, block_size=blk,
             block_rows=rows,
@@ -684,10 +699,10 @@ def decode_step_packed_q8(
             vsc = vsc.at[rows, write_pos].set(vs)
         qh = q.reshape(B, cfg.num_heads, cfg.head_dim_)
         if impl == "pallas":
-            blk = kc.shape[1] if kc.shape[1] <= 512 else 512
+            blk, rows = _decode_block_config(kc.shape[1], kc.shape[2])
             attn = decode_attention_packed_q8(
                 qh, kc, vc, ksc, vsc, starts, lengths,
-                num_kv=cfg.num_kv_heads, block_size=blk,
+                num_kv=cfg.num_kv_heads, block_size=blk, block_rows=rows,
             )
         else:
             attn = decode_attention_packed_q8_xla(

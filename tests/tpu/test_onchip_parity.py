@@ -55,6 +55,8 @@ def check_decode_kernel() -> dict:
         (32, 512, 14, 2, 64, 512, jnp.bfloat16),   # qwen2-0.5B geometry
         (8, 128, 4, 2, 64, 256, jnp.float32),
         (16, 512, 8, 4, 64, 128, jnp.bfloat16),    # multi-block streaming
+        (64, 512, 12, 2, 128, 512, jnp.bfloat16),  # qwen2-1.5B geometry
+        (32, 512, 16, 8, 128, 256, jnp.bfloat16),  # qwen3-0.6B geometry (KD=1024: 512-blocks exceed VMEM; prod uses _decode_block_config)
     ]
     worst = 0.0
     for B, S, H, Kv, Hd, blk, dt in shapes:
