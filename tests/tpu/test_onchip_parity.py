@@ -49,18 +49,23 @@ def check_decode_kernel() -> dict:
         decode_attention_packed_xla,
     )
 
+    from rlinf_tpu.models.llm.model import _decode_block_config
+
     shapes = [
-        # (B, S, H, Kv, Hd, block, dtype)   — engine-representative
-        (8, 128, 4, 2, 64, 256, jnp.bfloat16),
-        (32, 512, 14, 2, 64, 512, jnp.bfloat16),   # qwen2-0.5B geometry
-        (8, 128, 4, 2, 64, 256, jnp.float32),
-        (16, 512, 8, 4, 64, 128, jnp.bfloat16),    # multi-block streaming
-        (64, 512, 12, 2, 128, 512, jnp.bfloat16),  # qwen2-1.5B geometry
-        (32, 512, 16, 8, 128, 256, jnp.bfloat16),  # qwen3-0.6B geometry (KD=1024: 512-blocks exceed VMEM; prod uses _decode_block_config)
+        # (B, S, H, Kv, Hd, block, rows, dtype) — block/rows None = use the
+        # PRODUCTION chooser (_decode_block_config), the config engines run
+        (8, 128, 4, 2, 64, 256, 8, jnp.bfloat16),
+        (32, 512, 14, 2, 64, 512, 4, jnp.bfloat16),  # qwen2-0.5B geometry
+        (8, 128, 4, 2, 64, 256, 8, jnp.float32),
+        (16, 512, 8, 4, 64, 128, 8, jnp.bfloat16),   # multi-block streaming
+        (64, 512, 12, 2, 128, None, None, jnp.bfloat16),  # qwen2-1.5B
+        (32, 512, 16, 8, 128, None, None, jnp.bfloat16),  # qwen3 (KD=1024)
     ]
     worst = 0.0
-    for B, S, H, Kv, Hd, blk, dt in shapes:
+    for B, S, H, Kv, Hd, blk, rows, dt in shapes:
         KD = Kv * Hd
+        if blk is None:
+            blk, rows = _decode_block_config(S, KD)
         ks = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks[0], (B, H, Hd), dt)
         kc = jax.random.normal(ks[1], (B, S, KD), dt) * 0.3
@@ -68,7 +73,8 @@ def check_decode_kernel() -> dict:
         starts = jnp.zeros((B,), jnp.int32)
         lengths = (jnp.arange(B, dtype=jnp.int32) % (S - 8)) + 5
         pf = jax.jit(functools.partial(
-            decode_attention_packed, num_kv=Kv, block_size=blk))
+            decode_attention_packed, num_kv=Kv, block_size=blk,
+            block_rows=rows))
         xf = jax.jit(functools.partial(decode_attention_packed_xla, num_kv=Kv))
         a = np.asarray(jax.device_get(pf(q, kc, vc, starts, lengths)), np.float32)
         b = np.asarray(jax.device_get(xf(q, kc, vc, starts, lengths)), np.float32)
