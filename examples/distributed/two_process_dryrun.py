@@ -31,6 +31,24 @@ import time
 NUM_PROCESSES = 2
 DEVICES_PER_PROCESS = 2
 
+# Repo root (two levels up). Children are spawned by script path, so
+# sys.path[0] is examples/distributed/ — NOT the repo root. Unless the
+# package is pip-installed, `import rlinf_tpu` fails in the child (this
+# exact failure shipped as the red MULTICHIP_r03 gate). Make the import
+# robust both ways: prepend the repo root to this process's sys.path AND
+# to the PYTHONPATH of every child we spawn.
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _env_with_repo_on_pythonpath(env: dict) -> dict:
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = _REPO_ROOT + (os.pathsep + prev if prev else "")
+    return env
+
 
 def _free_port() -> int:
     s = socket.socket()
@@ -142,7 +160,7 @@ def run_child(process_id: int, coordinator: str) -> None:
 def run_parent() -> int:
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
-    env = dict(os.environ)
+    env = _env_with_repo_on_pythonpath(dict(os.environ))
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (

@@ -1,0 +1,78 @@
+"""Driver-path gate tests: run ``__graft_entry__`` EXACTLY as the driver does.
+
+Round-3 post-mortem: the multichip gate went red because
+``two_process_dryrun.py`` children could not ``import rlinf_tpu`` when
+spawned by script path, and pytest masked it (the pytest rootdir lands on
+``sys.path``, the driver's subprocess tree does not). These tests therefore
+invoke the gate through a fresh subprocess with a scrubbed environment and a
+neutral cwd so the driver path itself is what is under test.
+
+Reference analog: the multi-node bootstrap robustness of
+reference ray_utils/start_ray.sh:1 + rlinf/scheduler/cluster/cluster.py:163.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_env(n_devices: int) -> dict:
+    """Environment shaped like the driver's multichip run: CPU platform,
+    forced virtual device count, NO repo dir on PYTHONPATH (the entry file
+    itself must make the package importable for its subprocess tree)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    # Drop any sitecustomize that pins the TPU backend, and crucially drop
+    # the repo root if present — children must not depend on inherited paths.
+    env.pop("PYTHONPATH", None)
+    env.pop("PYTHONSTARTUP", None)
+    return env
+
+
+def test_dryrun_multichip_as_driver():
+    """`python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"` with
+    cwd=repo root, exactly the driver invocation, must exit 0."""
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO_ROOT, env=_driver_env(8),
+        capture_output=True, text=True, timeout=560,
+    )
+    tail = (proc.stdout + proc.stderr)[-3000:]
+    assert proc.returncode == 0, f"driver gate failed:\n{tail}"
+    assert "multiprocess drill" in proc.stdout, tail
+
+
+def test_entry_compiles_as_driver():
+    """The single-chip `entry()` compile check through the driver path."""
+    code = (
+        "import __graft_entry__ as g, jax\n"
+        "fn, args = g.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "jax.block_until_ready(out)\n"
+        "print('entry-ok', out.shape)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO_ROOT, env=_driver_env(1),
+        capture_output=True, text=True, timeout=300,
+    )
+    tail = (proc.stdout + proc.stderr)[-2000:]
+    assert proc.returncode == 0, f"entry failed:\n{tail}"
+    assert "entry-ok" in proc.stdout, tail
+
+
+def test_package_importable_from_neutral_cwd():
+    """`import rlinf_tpu` must work from a neutral cwd (pip install -e or
+    equivalent); subprocess-spawning features depend on this."""
+    proc = subprocess.run(
+        [sys.executable, "-c", "import rlinf_tpu; print('import-ok')"],
+        cwd="/tmp", env=_driver_env(1),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0 and "import-ok" in proc.stdout, (
+        proc.stdout + proc.stderr
+    )[-1000:]
