@@ -57,9 +57,16 @@ def dequantize(w: QTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def mm(x: jax.Array, w) -> jax.Array:
-    """x @ w for plain arrays or QTensor (upcast fuses into the matmul)."""
+    """x @ w for plain arrays or QTensor.
+
+    The scale is per-OUTPUT-channel ([..., 1, D_out]), so
+    ``x @ (q * scale) == (x @ q) * scale``: scaling the [B, D_out] result
+    keeps the matmul operand a pure int8->dtype convert (which XLA folds
+    into the MXU operand load) instead of a convert+broadcast-multiply over
+    the whole [D_in, D_out] weight, which XLA may materialize as a bf16
+    weight copy every decode step."""
     if isinstance(w, QTensor):
-        return x @ (w.q.astype(x.dtype) * w.scale.astype(x.dtype))
+        return (x @ w.q.astype(x.dtype)) * w.scale.astype(x.dtype)
     return x @ w
 
 

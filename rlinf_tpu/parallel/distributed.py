@@ -81,3 +81,37 @@ def shard_rows_for_process(n_rows: int) -> slice:
     assert n_rows % pc == 0, f"batch {n_rows} not divisible by {pc} hosts"
     per = n_rows // pc
     return slice(pi * per, (pi + 1) * per)
+
+
+def global_device_put(x, mesh: Mesh, spec: P) -> jax.Array:
+    """``device_put`` that also works across processes.
+
+    Single-process: plain ``jax.device_put``. Multi-process: every host holds
+    the same full host-side value (SPMD driver discipline — the runner runs
+    identically on every host) and only this host's addressable shards are
+    materialized on device via ``make_array_from_callback`` — i.e. each host
+    feeds only its rows, the host-sharded input-pipeline pattern of the
+    reference's per-rank dataloaders (rlinf/scheduler/cluster env plumbing)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def fetch_global(x) -> np.ndarray:
+    """Full host value of a (possibly non-fully-addressable) global array.
+
+    Multi-process analog of ``np.asarray``: replicated arrays are read
+    locally, sharded ones are allgathered across hosts
+    (``multihost_utils.process_allgather`` — the reference's rollout-result
+    channel fan-in, rlinf/scheduler/channel/channel.py:38)."""
+    if isinstance(x, np.ndarray) or jax.process_count() == 1:
+        return np.asarray(x)
+    if getattr(x, "is_fully_replicated", False):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -81,23 +81,26 @@ class RolloutEngine:
         ids = jax.numpy.asarray(prompt_ids)
         mask = jax.numpy.asarray(prompt_mask)
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
+            from rlinf_tpu.parallel.distributed import global_device_put
             from rlinf_tpu.parallel.mesh import AxisNames as Ax
 
-            sharding = NamedSharding(mesh, P(Ax.BATCH, None))
-            ids = jax.device_put(ids, sharding)
-            mask = jax.device_put(mask, sharding)
+            spec = P(Ax.BATCH, None)
+            ids = global_device_put(ids, mesh, spec)
+            mask = global_device_put(mask, mesh, spec)
         out = self._generate(
             params,
             rng=rng,
             prompt_ids=ids,
             prompt_mask=mask,
         )
+        from rlinf_tpu.parallel.distributed import fetch_global
+
         return RolloutResult(
             prompt_ids=prompt_ids,
             prompt_mask=prompt_mask,
-            response_ids=np.asarray(out.response_ids),
-            response_mask=np.asarray(out.response_mask),
-            response_logprobs=np.asarray(out.response_logprobs),
+            response_ids=fetch_global(out.response_ids),
+            response_mask=fetch_global(out.response_mask),
+            response_logprobs=fetch_global(out.response_logprobs),
             answers=request.answers,
         )

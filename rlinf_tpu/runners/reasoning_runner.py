@@ -316,16 +316,14 @@ class ReasoningRunner:
         active (DP; reference per-component DP routing, CommMapper analog)."""
         if self.mesh is None:
             return {k: jnp.asarray(v) for k, v in arrays.items()}
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+        from rlinf_tpu.parallel.distributed import global_device_put
         from rlinf_tpu.parallel.mesh import AxisNames as Ax
 
-        sharding = NamedSharding(self.mesh, P(Ax.BATCH))
         out = {}
         for k, v in arrays.items():
             spec = P(Ax.BATCH, *([None] * (np.ndim(v) - 1)))
-            out[k] = jax.device_put(
-                jnp.asarray(v), NamedSharding(self.mesh, spec)
-            )
+            out[k] = global_device_put(v, self.mesh, spec)
         return out
 
     def _gae_token_advantages(self, train_batch, rewards):

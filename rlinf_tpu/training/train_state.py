@@ -127,7 +127,14 @@ def create_train_state(
         opt_specs = _opt_state_specs(opt_shapes, shapes, specs)
         opt_shardings = tree_shardings(opt_shapes, opt_specs, mesh)
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
-    return TrainState(jnp.zeros((), jnp.int32), params, opt_state)
+        # The step scalar must live on the SAME global device set as the
+        # params: an uncommitted single-device scalar cannot be mixed with
+        # multi-process global arrays in one jitted call.
+        step = jax.device_put(
+            jnp.zeros((), jnp.int32),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+        )
+    return TrainState(step, params, opt_state)
 
 
 def _opt_state_specs(opt_shapes, param_shapes, param_specs):

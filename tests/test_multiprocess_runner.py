@@ -1,0 +1,39 @@
+"""Multi-process ReasoningRunner training run (VERDICT r3 item 2).
+
+Runs examples/distributed/multiprocess_runner_drill.py through a scrubbed
+subprocess (the driver path — no pytest sys.path help): 2 jax.distributed
+processes, one global dp×tp mesh, 3 GRPO steps + checkpoint + teardown +
+resume + 2 more steps, per-step losses bit-identical across hosts.
+
+Reference analog: a short multi-node training run through
+rlinf/runners/reasoning_runner.py:431 after ray bootstrap.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRILL = os.path.join(
+    REPO_ROOT, "examples", "distributed", "multiprocess_runner_drill.py"
+)
+
+
+def test_multiprocess_runner_train_resume():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)  # the drill must self-bootstrap its imports
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, DRILL], env=env, cwd="/tmp",
+        capture_output=True, text=True, timeout=280,
+    )
+    tail = (proc.stdout + proc.stderr)[-3000:]
+    assert proc.returncode == 0, f"drill failed:\n{tail}"
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["ok"] is True
+    assert report["resume_start_step"] == 2
+    assert len(report["phase_a_losses"]) == 3
+    assert len(report["phase_b_losses"]) == 3
