@@ -40,29 +40,29 @@ if os.environ.get("RLINF_FORCE_CPU"):  # dev smoke runs; sitecustomize pins TPU
 
 
 def make_greedy_evaluator(model_cfg, tok, examples, max_new=128):
-    """One reusable greedy-decode + verifier-grade evaluator (single jit)."""
-    import numpy as np
-    import jax
-    from rlinf_tpu.algorithms.rewards.math_verifier import batch_math_rewards
-    from rlinf_tpu.data.io_struct import RolloutRequest
+    """Held-out greedy eval through the specialized eval runner
+    (runners/eval_runner.py evaluate_reasoning — reference
+    reasoning_eval_runner.py analog)."""
+    from rlinf_tpu.data.datasets import PromptDataset
     from rlinf_tpu.models.llm.sampler import SamplingParams
     from rlinf_tpu.rollout.engine import RolloutEngine
+    from rlinf_tpu.runners.eval_runner import evaluate_reasoning
 
+    dataset = PromptDataset(list(examples))
     sp = SamplingParams(
         max_new_tokens=max_new, temperature=1.0, greedy=True,
         eos_token_id=tok.eos_id, pad_token_id=tok.pad_id,
     )
     eng = RolloutEngine(model_cfg, sp, prompt_bucket=64, weight_quant="none")
-    req = RolloutRequest(
-        prompt_ids=[tok.encode(ex.prompt)[:64] for ex in examples],
-        answers=[ex.answer for ex in examples],
-    )
 
     def evaluate(params):
-        out = eng.rollout(params, req, jax.random.PRNGKey(0))
-        texts = out.response_texts(tok)
-        rewards = batch_math_rewards(texts, out.answers)
-        return float(np.mean(rewards)), texts
+        res = evaluate_reasoning(
+            params, model_cfg, tok, dataset,
+            sampling=sp, batch_size=len(dataset.examples),
+            max_prompt_len=64, seed=0, engine=eng,
+        )
+        texts = [r["response"] for r in res.per_example]
+        return res.accuracy, texts
 
     return evaluate
 
