@@ -130,46 +130,386 @@ class GymVectorEnv(VectorEnv):
         self._venv.close()
 
 
+def _to_np(x, dtype=None):
+    """torch tensor / array-like -> numpy (ManiSkill3 returns torch on its
+    sim device; reference uses common.to_numpy)."""
+    if hasattr(x, "detach"):
+        x = x.detach()
+        if hasattr(x, "cpu"):
+            x = x.cpu()
+        x = x.numpy()
+    out = np.asarray(x)
+    return out.astype(dtype) if dtype is not None else out
+
+
 @register_env("maniskill")
-class ManiSkillEnv(GymVectorEnv):
-    """ManiSkill3 tasks (reference envs/maniskill/maniskill_env.py:45).
-    ManiSkill registers gymnasium ids; obs_mode="state" gives Box states,
-    obs_mode="rgb" gives Dict with image keys."""
+class ManiSkillEnv(VectorEnv):
+    """ManiSkill3 native batched API (reference
+    envs/maniskill/maniskill_env.py:45-400) — NOT a SyncVectorEnv: one
+    ``gym.make(env_id, num_envs=N)`` call returns a GPU-vectorized env whose
+    obs/reward/done come back as torch tensors.
+
+    Mapping conventions replicated from the reference:
+      * obs "state" mode -> {"states"}; "rgb" mode -> {"main_images"} from
+        ``sensor_data["base_camera"]["rgb"]`` + proprio qpos states
+        (_wrap_obs :146-190);
+      * reward modes: "raw" (sim reward), "only_success" (success*1.0),
+        "default" dense shaping ``0.1*is_src_obj_grasped +
+        0.1*consecutive_grasp + 1.0*(success & is_src_obj_grasped)``
+        (_calc_step_reward :208-227), optionally as a per-step DIFF
+        (use_rel_reward);
+      * ignore_terminations: episodes end only on truncation, success
+        recorded as success_at_end (:309-313);
+      * success_once/fail_once/returns episode metrics (:229-270);
+      * partial auto-reset of done rows via
+        ``reset(options={"env_idx": ...})`` (_handle_auto_reset :372).
+    """
 
     def __init__(self, num_envs: int, seed: int = 0, *,
                  env_id: str = "PickCube-v1", obs_mode: str = "state",
-                 control_mode: str = "pd_ee_delta_pose", **kw):
+                 control_mode: str = "pd_ee_delta_pose",
+                 reward_mode: str = "default", use_rel_reward: bool = False,
+                 ignore_terminations: bool = False,
+                 partition_rank: int = 0, partition_size: int = 1,
+                 sim_backend: Optional[str] = None, **kw):
+        super().__init__(num_envs, seed)
         _require("mani_skill", "install ManiSkill3 to use this adapter")
+        import gymnasium as gym
         import mani_skill.envs  # noqa: F401  (registers gym ids)
 
-        super().__init__(
-            num_envs, seed, env_id=env_id,
-            env_kwargs={"obs_mode": obs_mode, "control_mode": control_mode,
-                        **kw})
+        kwargs = dict(num_envs=num_envs, obs_mode=obs_mode,
+                      control_mode=control_mode, **kw)
+        if sim_backend:
+            kwargs["sim_backend"] = sim_backend
+        self._env = gym.make(env_id, **kwargs)
+        self._obs_mode = obs_mode
+        self._reward_mode = reward_mode
+        self._use_rel = use_rel_reward
+        self._ignore_term = ignore_terminations
+        # per-worker seed partition (reference env_worker.py:381-391)
+        self._seed = seed + partition_rank
+        self._prev_reward = np.zeros(num_envs, np.float32)
+        base = self._env.unwrapped
+        space = getattr(
+            self._env, "single_action_space",
+            getattr(base, "single_action_space", None),
+        ) or base.action_space
+        self.action_dim = int(np.prod(space.shape[-1:]))
+        self._success_once = np.zeros(num_envs, bool)
+        self._returns = np.zeros(num_envs, np.float32)
+        self._ep_success: list = []
+        self._ep_return: list = []
+        self._ep_success_at_end: list = []
+
+    # -- reference _wrap_obs "simple" mode ---------------------------------
+    def _wrap_obs(self, raw) -> Dict[str, np.ndarray]:
+        if self._obs_mode == "state":
+            return {"states": _to_np(raw, np.float32)}
+        sensor = raw["sensor_data"]
+        cam = "base_camera" if "base_camera" in sensor else sorted(sensor)[0]
+        images = _to_np(sensor[cam]["rgb"]).astype(np.uint8)
+        qpos = self._env.unwrapped.agent.robot.get_qpos()
+        return {
+            "main_images": images,
+            "states": _to_np(qpos, np.float32),
+        }
+
+    def _calc_reward(self, reward, info) -> np.ndarray:
+        if self._reward_mode == "raw":
+            r = _to_np(reward, np.float32)
+        elif self._reward_mode == "only_success":
+            r = _to_np(info["success"]).astype(np.float32)
+        else:  # dense shaping (reference default)
+            grasped = _to_np(info["is_src_obj_grasped"]).astype(np.float32)
+            consec = _to_np(info["consecutive_grasp"]).astype(np.float32)
+            succ = _to_np(info["success"]).astype(bool)
+            r = 0.1 * grasped + 0.1 * consec + 1.0 * (
+                succ & (grasped > 0)
+            ).astype(np.float32)
+        diff = r - self._prev_reward
+        # copy: _partial_reset zeroes _prev_reward rows in place, and the
+        # returned reward must not alias it
+        self._prev_reward = r.copy()
+        return diff if self._use_rel else r
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        raw, _info = self._env.reset(seed=self._seed)
+        self._prev_reward[:] = 0.0
+        self._success_once[:] = False
+        self._returns[:] = 0.0
+        return self._wrap_obs(raw)
+
+    def _partial_reset(self, idx: np.ndarray):
+        raw, _ = self._env.reset(options={"env_idx": idx})
+        self._prev_reward[idx] = 0.0
+        self._success_once[idx] = False
+        self._returns[idx] = 0.0
+        return raw
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        a = np.asarray(actions, np.float32).reshape(
+            self.num_envs, self.action_dim)
+        raw, reward, term, trunc, info = self._env.step(a)
+        r = self._calc_reward(reward, info)
+        term = _to_np(term).astype(bool).reshape(-1)
+        trunc = _to_np(trunc).astype(bool)
+        if trunc.ndim == 0:  # sim returns a scalar truncation flag
+            trunc = np.full(self.num_envs, bool(trunc))
+        trunc = trunc.reshape(-1)
+        success = _to_np(info.get("success", term)).astype(bool).reshape(-1)
+        self._success_once |= success
+        self._returns += r
+        if self._ignore_term:
+            term = np.zeros_like(term)
+        done = term | trunc
+        if done.any():
+            for i in np.nonzero(done)[0]:
+                self._ep_success.append(bool(self._success_once[i]))
+                self._ep_success_at_end.append(bool(success[i]))
+                self._ep_return.append(float(self._returns[i]))
+            raw = self._partial_reset(np.nonzero(done)[0])
+        return EnvOutput(
+            obs=self._wrap_obs(raw), reward=r, done=done, terminated=term,
+            info={"success": success},
+        )
+
+    def metrics(self) -> Dict[str, float]:
+        out = {}
+        if self._ep_success:
+            out["env/success_once"] = float(np.mean(self._ep_success))
+            out["env/success_at_end"] = float(
+                np.mean(self._ep_success_at_end))
+            out["env/episode_return"] = float(np.mean(self._ep_return))
+            out["env/num_episodes"] = float(len(self._ep_success))
+        self._ep_success.clear()
+        self._ep_success_at_end.clear()
+        self._ep_return.clear()
+        return out
+
+    def offload(self):
+        self._env.close()
 
 
 @register_env("metaworld")
-class MetaWorldEnv(GymVectorEnv):
-    """Metaworld MT-series tasks via their gymnasium registration."""
+class MetaWorldEnv(VectorEnv):
+    """Metaworld MT-series tasks (reference envs/metaworld/metaworld_env.py).
+
+    Conventions replicated: per-env task construction via ``metaworld.MT1``
+    + ``set_task``; success from ``info["success"]`` (float 0/1) latched
+    into ``success_once`` until episode end (:205-229); image obs via
+    ``env.render()`` flipped ``[::-1, ::-1]`` (:236-243) merged with the
+    proprio state vector.
+    """
 
     def __init__(self, num_envs: int, seed: int = 0, *,
-                 env_id: str = "reach-v2", **kw):
-        _require("metaworld", "install metaworld to use this adapter")
-        import metaworld  # noqa: F401
+                 env_name: str = "reach-v2", image_obs: bool = False,
+                 max_episode_steps: int = 200,
+                 partition_rank: int = 0, partition_size: int = 1, **kw):
+        super().__init__(num_envs, seed)
+        mw = _require("metaworld", "install metaworld to use this adapter")
+        self._envs = []
+        for i in range(num_envs):
+            mt1 = mw.MT1(env_name, seed=seed + partition_rank * num_envs + i)
+            env = mt1.train_classes[env_name]()
+            task = mt1.train_tasks[
+                (seed + i) % max(len(mt1.train_tasks), 1)
+            ]
+            env.set_task(task)
+            self._envs.append(env)
+        self._image_obs = image_obs
+        self._max_steps = max_episode_steps
+        self._t = np.zeros(num_envs, np.int32)
+        space = self._envs[0].action_space
+        self.action_dim = int(np.prod(space.shape))
+        self._success_once = np.zeros(num_envs, bool)
+        self._returns = np.zeros(num_envs, np.float32)
+        self._ep_success: list = []
+        self._ep_return: list = []
 
-        super().__init__(num_envs, seed, env_id=env_id, env_kwargs=kw)
+    def _obs_one(self, env, state) -> Dict[str, np.ndarray]:
+        out = {"states": np.asarray(state, np.float32)}
+        if self._image_obs:
+            img = np.asarray(env.render())[::-1, ::-1]  # reference flip
+            out["main_images"] = img.astype(np.uint8)
+        return out
+
+    def _stack(self, per_env):
+        keys = per_env[0].keys()
+        return {k: np.stack([o[k] for o in per_env]) for k in keys}
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        obs = []
+        for env in self._envs:
+            state, _info = env.reset()
+            obs.append(self._obs_one(env, state))
+        self._t[:] = 0
+        self._success_once[:] = False
+        self._returns[:] = 0.0
+        return self._stack(obs)
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        a = np.asarray(actions, np.float32).reshape(
+            self.num_envs, self.action_dim)
+        obs, rewards, dones, terms, successes = [], [], [], [], []
+        for i, env in enumerate(self._envs):
+            state, r, term, trunc, info = env.step(a[i])
+            self._t[i] += 1
+            succ = bool(float(info.get("success", 0.0)) > 0)
+            self._success_once[i] |= succ
+            self._returns[i] += float(r)
+            done = bool(term) or bool(trunc) or self._t[i] >= self._max_steps
+            if done:
+                self._ep_success.append(bool(self._success_once[i]))
+                self._ep_return.append(float(self._returns[i]))
+                state, _ = env.reset()
+                self._t[i] = 0
+                self._success_once[i] = False
+                self._returns[i] = 0.0
+            obs.append(self._obs_one(env, state))
+            rewards.append(float(r))
+            dones.append(done)
+            terms.append(bool(term))
+            successes.append(succ)
+        return EnvOutput(
+            obs=self._stack(obs),
+            reward=np.asarray(rewards, np.float32),
+            done=np.asarray(dones, bool),
+            terminated=np.asarray(terms, bool),
+            info={"success": np.asarray(successes, bool)},
+        )
+
+    def metrics(self) -> Dict[str, float]:
+        out = {}
+        if self._ep_success:
+            out["env/success_once"] = float(np.mean(self._ep_success))
+            out["env/episode_return"] = float(np.mean(self._ep_return))
+            out["env/num_episodes"] = float(len(self._ep_success))
+        self._ep_success.clear()
+        self._ep_return.clear()
+        return out
 
 
 @register_env("libero")
 class LiberoEnv(VectorEnv):
-    """LIBERO task suites (reference envs/libero). Constructed lazily —
-    raises with an actionable message when libero isn't installed."""
+    """LIBERO task suites (reference envs/libero/libero_env.py).
 
-    def __init__(self, num_envs: int, seed: int = 0, **kw):
+    Conventions replicated: benchmark suite -> task -> bddl file plumbed
+    into ``OffScreenRenderEnv``; per-episode fixed init states
+    (``env.set_init_state``); obs keys ``agentview_image`` (flipped
+    ``[::-1]``) -> main_images, ``robot0_eye_in_hand_image`` -> wrist
+    images, eef/gripper/joint states concatenated; success via
+    ``env.check_success()``; fixed-horizon episodes.
+    """
+
+    def __init__(self, num_envs: int, seed: int = 0, *,
+                 task_suite_name: str = "libero_spatial", task_id: int = 0,
+                 camera_heights: int = 128, camera_widths: int = 128,
+                 max_episode_steps: int = 300,
+                 partition_rank: int = 0, partition_size: int = 1, **kw):
+        super().__init__(num_envs, seed)
         _require("libero", "install LIBERO to use this adapter")
-        raise NotImplementedError(
-            "LIBERO adapter requires the libero package present to bind its "
-            "OffScreenRenderEnv API; see GymVectorEnv for the contract.")
+        from libero.libero import benchmark, get_libero_path
+        from libero.libero.envs import OffScreenRenderEnv
+        import os
+
+        suite = benchmark.get_benchmark_dict()[task_suite_name]()
+        task = suite.get_task(task_id)
+        bddl = os.path.join(
+            get_libero_path("bddl_files"), task.problem_folder,
+            task.bddl_file,
+        )
+        self._envs = []
+        for i in range(num_envs):
+            env = OffScreenRenderEnv(
+                bddl_file_name=bddl,
+                camera_heights=camera_heights,
+                camera_widths=camera_widths,
+            )
+            env.seed(seed + partition_rank * num_envs + i)
+            self._envs.append(env)
+        self._init_states = suite.get_task_init_states(task_id)
+        self._max_steps = max_episode_steps
+        self._t = np.zeros(num_envs, np.int32)
+        self._rng = np.random.default_rng(seed + partition_rank)
+        self.action_dim = 7  # OSC_POSE + gripper
+        self._success_once = np.zeros(num_envs, bool)
+        self._ep_success: list = []
+        self.task_description = task.language
+
+    def _obs_one(self, raw) -> Dict[str, np.ndarray]:
+        state = np.concatenate([
+            np.asarray(raw["robot0_eef_pos"], np.float32).reshape(-1),
+            np.asarray(raw["robot0_eef_quat"], np.float32).reshape(-1),
+            np.asarray(raw["robot0_gripper_qpos"], np.float32).reshape(-1),
+        ])
+        return {
+            "main_images": np.asarray(
+                raw["agentview_image"])[::-1].astype(np.uint8),
+            "wrist_images": np.asarray(
+                raw["robot0_eye_in_hand_image"]).astype(np.uint8),
+            "states": state,
+        }
+
+    def _stack(self, per_env):
+        keys = per_env[0].keys()
+        return {k: np.stack([o[k] for o in per_env]) for k in keys}
+
+    def _reset_one(self, i):
+        env = self._envs[i]
+        env.reset()
+        if len(self._init_states):
+            k = int(self._rng.integers(len(self._init_states)))
+            raw = env.set_init_state(self._init_states[k])
+        else:
+            raw = env.env._get_observations() if hasattr(
+                env, "env") else env.reset()
+        self._t[i] = 0
+        self._success_once[i] = False
+        return raw
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        return self._stack(
+            [self._obs_one(self._reset_one(i))
+             for i in range(self.num_envs)]
+        )
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        a = np.asarray(actions, np.float32).reshape(
+            self.num_envs, self.action_dim)
+        obs, rewards, dones, successes = [], [], [], []
+        for i, env in enumerate(self._envs):
+            raw, r, _done, _info = env.step(a[i])
+            self._t[i] += 1
+            succ = bool(env.check_success())
+            self._success_once[i] |= succ
+            done = succ or self._t[i] >= self._max_steps
+            if done:
+                self._ep_success.append(bool(self._success_once[i]))
+                raw = self._reset_one(i)
+            obs.append(self._obs_one(raw))
+            # sparse success reward (reference LIBERO RL convention)
+            rewards.append(1.0 if succ else 0.0)
+            dones.append(done)
+            successes.append(succ)
+        return EnvOutput(
+            obs=self._stack(obs),
+            reward=np.asarray(rewards, np.float32),
+            done=np.asarray(dones, bool),
+            terminated=np.asarray(successes, bool),
+            info={"success": np.asarray(successes, bool)},
+        )
+
+    def metrics(self) -> Dict[str, float]:
+        out = {}
+        if self._ep_success:
+            out["env/success_once"] = float(np.mean(self._ep_success))
+            out["env/num_episodes"] = float(len(self._ep_success))
+        self._ep_success.clear()
+        return out
+
+    def offload(self):
+        for env in self._envs:
+            env.close()
 
 
 def load_d4rl_dataset(env_id: str, buffer) -> int:
