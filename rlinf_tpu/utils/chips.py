@@ -59,7 +59,10 @@ def register_chip(chip: TPUChip) -> TPUChip:
 
 register_chip(TPUChip("tpu-v4", "v4", 275e12, 275e12, 32e9, 1228e9,
                       45e9, 6, cores_per_chip=2))
-register_chip(TPUChip("tpu-v5e", "v5e", 394e12, 788e12, 16e9, 819e9,
+# v5e peak: 197 TFLOP/s bf16, 394 TOPS int8 (the 394/788 pair previously
+# registered here was the int8/"sparse-ish" doubling — the same r1 mistake
+# flops.py:24 documents; all roofline consumers now agree on 197).
+register_chip(TPUChip("tpu-v5e", "v5e", 197e12, 394e12, 16e9, 819e9,
                       45e9, 4))
 register_chip(TPUChip("tpu-v5p", "v5p", 459e12, 918e12, 95e9, 2765e9,
                       90e9, 6, cores_per_chip=2))
@@ -86,6 +89,12 @@ def detect_chip(default: str = "v5e") -> TPUChip:
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", "").lower().replace(" ", "")
+    # device_kind spellings seen in the wild: "TPU v4", "TPU v5 lite"
+    # (= v5e), "TPU v5p", "TPU v5", "TPU v6 lite" (= v6e)
+    aliases = {"v5lite": "v5e", "v5litepod": "v5e", "v6lite": "v6e"}
+    for alias, gen in aliases.items():
+        if alias in kind:
+            return _CHIPS[gen]
     for gen in _CHIPS:
         if gen in kind:
             return _CHIPS[gen]

@@ -20,13 +20,21 @@ from rlinf_tpu.utils.rerun import (
 
 def test_chip_registry():
     v5e = get_chip("v5e")
-    assert v5e.bf16_flops == 394e12 and v5e.hbm_bw == 819e9
+    # 197 TFLOP/s bf16 / 394 TOPS int8 (the spec-sheet pair; the registry
+    # briefly carried the int8 figure as bf16 — same r1 mistake flops.py
+    # documents)
+    assert v5e.bf16_flops == 197e12 and v5e.hbm_bw == 819e9
+    assert v5e.int8_flops == 394e12
     assert get_chip("v5p").cores_per_chip == 2
     assert get_chip("v6e").bf16_flops > v5e.bf16_flops
     with pytest.raises(KeyError, match="Unknown TPU generation"):
         get_chip("v99")
-    # arithmetic intensity: v5e breaks even around 480 FLOP/byte
-    assert 400 < v5e.arithmetic_intensity < 600
+    # arithmetic intensity: v5e breaks even around 240 FLOP/byte
+    assert 200 < v5e.arithmetic_intensity < 300
+    # flops.py's roofline and the chip registry must agree
+    from rlinf_tpu.utils import flops as F
+
+    assert F.ChipSpec.v5e().bf16_flops == v5e.bf16_flops
     # detection falls back to default on CPU test runtime
     assert detect_chip("v5p").generation in {"v4", "v5e", "v5p", "v6e"}
 
