@@ -508,7 +508,10 @@ class ReasoningRunner:
         out = {k: float(np.asarray(v)) for k, v in metrics.items()}
         out.update(
             rollout_metrics(
-                result.response_lengths, rewards, cfg.sampling.max_new_tokens
+                result.response_lengths, rewards, cfg.sampling.max_new_tokens,
+                prompt_lengths=result.prompt_lengths,
+                advantages=train_batch.advantages,
+                loss_mask=train_batch.loss_mask,
             )
         )
         times = self.timers.consume()

@@ -143,33 +143,12 @@ def make_policy_train_step(
     """
 
     def microbatch_loss(params, mb, global_valid_tokens):
-        moe_aux = jnp.zeros((), jnp.float32)
-        if cfg.is_moe:
-            hidden, _, moe_aux = M.forward_hidden(
-                params, cfg, mb["input_ids"],
-                attention_mask=mb["attention_mask"],
-                attn_impl=attn_impl, remat=remat, return_aux=True,
-            )
-        else:
-            hidden, _ = M.forward_hidden(
-                params, cfg, mb["input_ids"],
-                attention_mask=mb["attention_mask"],
-                attn_impl=attn_impl, remat=remat,
-            )
-        w = M.lm_head_weight(params, cfg)
-        lp, ent = fused_linear_logprobs_and_entropy(
-            hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+        # single shared loss path (r3 VERDICT weak #5: this body used to be
+        # duplicated at module level and could drift)
+        return microbatch_loss_with_moe(
+            params, cfg, loss_cfg, mb, global_valid_tokens,
+            attn_impl=attn_impl, remat=remat,
         )
-        loss, metrics = _token_level_loss(
-            lp, ent, mb, loss_cfg, global_valid_tokens
-        )
-        if cfg.is_moe:
-            # weight aux by this microbatch's token share so accumulation over
-            # microbatches equals the one-big-batch aux
-            local = jnp.sum(mb["loss_mask"].astype(jnp.float32))
-            loss = loss + moe_aux * local / global_valid_tokens
-            metrics["actor/moe_aux_loss"] = jax.lax.stop_gradient(moe_aux)
-        return loss, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         if mesh is not None:
