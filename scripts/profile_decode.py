@@ -63,12 +63,16 @@ def main():
     emit(phase="prefill_only", time_s=round(t, 4),
          vs_sol=round(sol_prefill / t, 3))
 
-    def run_variant(name, sp, **kw):
-        gen = jax.jit(lambda p, rg, i, m: generate(
-            p, cfg, rg, i, m, sp, **kw).response_ids)
+    def run_variant(name, sp, use_q, attn):
+        # decode_params passed as a jit ARGUMENT — closure capture would
+        # bake 0.5GB of int8 weights into the HLO as constants and wedge
+        # the compile server for tens of minutes (round-4 lesson).
+        gen = jax.jit(lambda p, qp, rg, i, m: generate(
+            p, cfg, rg, i, m, sp, decode_params=qp,
+            decode_attn_impl=attn).response_ids)
+        qp = qparams if use_q else None
         try:
-            t = timeit(gen, (params, rng, ids, mask))
-            dec_t = t - 0.0
+            t = timeit(lambda *a: gen(params, qp, *a), (rng, ids, mask))
             emit(phase="generate", variant=name, time_s=round(t, 4),
                  ms_per_step=round((t) / N * 1e3, 3),
                  vs_sol=round((sol_prefill + sol_dec) / t, 4))
@@ -79,13 +83,10 @@ def main():
     sp = SamplingParams(max_new_tokens=N, temperature=1.0, eos_token_id=-1)
     spg = SamplingParams(max_new_tokens=N, temperature=1.0, eos_token_id=-1,
                          greedy=True)
-    run_variant("int8_pallas", sp, decode_params=qparams,
-                decode_attn_impl="pallas")
-    run_variant("int8_pallas_greedy", spg, decode_params=qparams,
-                decode_attn_impl="pallas")
-    run_variant("bf16_pallas", sp, decode_params=None,
-                decode_attn_impl="pallas")
-    run_variant("int8_xla", sp, decode_params=qparams, decode_attn_impl=None)
+    run_variant("int8_pallas", sp, True, "pallas")
+    run_variant("int8_pallas_greedy", spg, True, "pallas")
+    run_variant("bf16_pallas", sp, False, "pallas")
+    run_variant("int8_xla", sp, True, None)
     emit(phase="done")
 
 
