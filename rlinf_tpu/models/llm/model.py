@@ -128,9 +128,19 @@ def _project_qkv(cfg: LLMConfig, layer: Params, h: jax.Array, B: int, S: int):
     """qkv projection + bias + head reshape + optional Qwen3 qk-norm.
     h: [B, S, D] → q [B,S,H,Hd], k/v [B,S,K,Hd] (pre-RoPE)."""
     Hd = cfg.head_dim_
-    q = mm(h, layer["wq"])
-    k = mm(h, layer["wk"])
-    v = mm(h, layer["wv"])
+    if "wqkv" in layer:
+        # fused decode weights (quant.py quantize_params(fuse=True)): one
+        # matmul dispatch instead of three — per-op fixed cost dominates
+        # decode at serving batch sizes
+        qkv = mm(h, layer["wqkv"])
+        qd, kd = cfg.q_dim, cfg.kv_dim
+        q = qkv[..., :qd]
+        k = qkv[..., qd:qd + kd]
+        v = qkv[..., qd + kd:]
+    else:
+        q = mm(h, layer["wq"])
+        k = mm(h, layer["wk"])
+        v = mm(h, layer["wv"])
     if cfg.qkv_bias:
         q = q + layer["bq"]
         k = k + layer["bk"]
@@ -158,7 +168,12 @@ def _mlp_or_moe(cfg: LLMConfig, x, layer):
         }
         out, aux = moe_layer(moe_params, h, cfg.moe_config)
         return x + out, aux
-    gated = jax.nn.silu(mm(h, layer["gate"])) * mm(h, layer["up"])
+    if "wgu" in layer:
+        gu = mm(h, layer["wgu"])
+        F = gu.shape[-1] // 2
+        gated = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+    else:
+        gated = jax.nn.silu(mm(h, layer["gate"])) * mm(h, layer["up"])
     return x + mm(gated, layer["down"]), jnp.zeros((), jnp.float32)
 
 

@@ -76,16 +76,37 @@ def mm(x: jax.Array, w) -> jax.Array:
 _MATMUL_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down", "lm_head")
 
 
-def quantize_params(params: dict) -> dict:
+def quantize_params(params: dict, *, fuse: bool = True) -> dict:
     """LLM params -> same tree with matmul weights as int8 QTensor leaves.
 
     For tied-embedding models the lm_head matmul reads ``embed.T``; a
     quantized ``lm_head`` entry is materialized so decode never streams the
     bf16 embedding for the output projection (the input-side gather still
     uses the bf16 table).
+
+    ``fuse`` (default): emit FUSED decode weights — ``wqkv`` =
+    concat(wq, wk, wv) and ``wgu`` = concat(gate, up) along the output
+    axis — replacing the individual entries. Decode at serving batch sizes
+    is dominated by per-op fixed cost across layers (measured ~1ms of a
+    2.3ms step at B=64 on v5e is neither weights, KV, nor sampling);
+    collapsing 5 matmul dispatches per layer to 3 attacks exactly that.
+    Per-output-channel scales make the fusion exact: the concatenated
+    quantization equals quantizing each part separately.
     """
     out = dict(params)
     blocks = dict(params["blocks"])
+    if fuse and all(k in blocks for k in ("wq", "wk", "wv")):
+        import jax.numpy as jnp
+
+        blocks["wqkv"] = quantize_tensor(jnp.concatenate(
+            [blocks.pop("wq"), blocks.pop("wk"), blocks.pop("wv")], axis=-1
+        ))
+    if fuse and "gate" in blocks and "up" in blocks:
+        import jax.numpy as jnp
+
+        blocks["wgu"] = quantize_tensor(jnp.concatenate(
+            [blocks.pop("gate"), blocks.pop("up")], axis=-1
+        ))
     for k in list(blocks.keys()):
         if k in _MATMUL_KEYS:
             blocks[k] = quantize_tensor(blocks[k])

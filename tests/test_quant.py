@@ -46,12 +46,22 @@ def test_quantize_params_structure():
     cfg = LLMConfig.tiny()
     params = init_params(cfg, jax.random.PRNGKey(0))
     qp = quantize_params(params)
-    assert isinstance(qp["blocks"]["wq"], QTensor)
+    # fused decode weights: wq/wk/wv -> wqkv, gate/up -> wgu (one matmul
+    # dispatch each; per-output-channel scales make the fusion exact)
+    assert isinstance(qp["blocks"]["wqkv"], QTensor)
+    assert isinstance(qp["blocks"]["wgu"], QTensor)
+    assert "wq" not in qp["blocks"] and "gate" not in qp["blocks"]
     assert isinstance(qp["lm_head"], QTensor)          # tied -> materialized
     assert not isinstance(qp["blocks"]["attn_norm"], QTensor)
     assert not isinstance(qp["embed"], QTensor)        # gather stays bf16
     # stacked [L, D, F] weights: per (layer, out-channel) scales
-    assert qp["blocks"]["wq"].scale.shape == (
+    assert qp["blocks"]["wqkv"].scale.shape == (
+        cfg.num_layers, 1, cfg.q_dim + 2 * cfg.kv_dim
+    )
+    # unfused mode keeps the original layout
+    qp_uf = quantize_params(params, fuse=False)
+    assert isinstance(qp_uf["blocks"]["wq"], QTensor)
+    assert qp_uf["blocks"]["wq"].scale.shape == (
         cfg.num_layers, 1, cfg.q_dim
     )
 
