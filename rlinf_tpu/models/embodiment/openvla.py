@@ -137,8 +137,16 @@ class OpenVLAPolicy(Policy):
 
     def _bin_logprobs(self, hidden: jax.Array, params) -> jax.Array:
         """fp32 log-softmax over the bin slice of the vocab. hidden [..., D]."""
-        w = lm_head_weight(params["vlm"], self.vlm_cfg)[:, self._bin_base:]
-        logits = (hidden.astype(jnp.float32) @ w.astype(jnp.float32))
+        from rlinf_tpu.models.llm.quant import QTensor
+
+        w = lm_head_weight(params["vlm"], self.vlm_cfg)
+        if isinstance(w, QTensor):
+            # int8 serving trunk: dequantize only the 256-bin vocab slice
+            w = (w.q[:, self._bin_base:].astype(jnp.float32)
+                 * w.scale[:, self._bin_base:].astype(jnp.float32))
+        else:
+            w = w[:, self._bin_base:].astype(jnp.float32)
+        logits = hidden.astype(jnp.float32) @ w
         return jax.nn.log_softmax(logits, axis=-1)
 
     # ------------------------------------------------------------------
