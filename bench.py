@@ -103,9 +103,14 @@ def main():
             sys.exit(1)
 
     if on_tpu:
-        # RLINF_BENCH_MODEL picks the preset (default flagship 0.5B; the
-        # 1.5B fits this chip for scaling studies — see logs/bench_15b.log)
-        preset = os.environ.get("RLINF_BENCH_MODEL", "qwen2_0_5b")
+        # RLINF_BENCH_MODEL picks the preset. Flagship since round 4:
+        # qwen2_1_5b — the reference's own headline math-RL model
+        # (BASELINE.md DeepSeek-R1-Distill-Qwen-1.5B) and the production
+        # regime for this chip. The 0.5B remains measurable via env; its
+        # per-step fixed costs (24 pallas decode calls ~24us each, scan
+        # dispatch) are a ~26%-of-decode floor at B=64 that larger models
+        # amortize — full attribution in docs/perf_notes_r4.md.
+        preset = os.environ.get("RLINF_BENCH_MODEL", "qwen2_1_5b")
         cfg = getattr(LLMConfig, preset)()
         # One GRPO step's shapes: 64 rollouts of 256 prompt + 256 response
         # tokens, then training on the same rows (bucketed to 256 — the

@@ -94,14 +94,15 @@ def main():
     sync(m)
     out["steady_step_s"] = round((time.perf_counter() - t0) / 3, 4)
 
-    # the scheduler proposes a migration from live (skewed) timings
-    sched = DynamicScheduler(total_devices=8, interval=2, warmup_steps=1,
-                             sync_collocated_s=0.2)
+    # the scheduler proposes a migration from live timings: a heavy
+    # per-step collocated weight-sync cost (the cost AUTO mode removes,
+    # reference dynamic_scheduling.rst) makes disaggregation win
+    sched = DynamicScheduler(total_devices=8, interval=2, warmup_steps=1)
     mig = None
     for i in range(8):
         mig = mig or sched.observe(
-            {"time/rollout": 3.0, "time/training": 0.5,
-             "time/weight_sync": 0.2})
+            {"time/rollout": 3.0, "time/training": 0.2,
+             "time/weight_sync": 1.0})
     out["scheduler_proposed"] = mig is not None
     if mig is not None:
         out["migration_plan"] = {

@@ -18,6 +18,7 @@ Reference geometries: rlinf/models/embodiment/openpi/ (pi0),
 openvla/ + prismatic/ (7B).
 """
 
+import functools
 import json
 import time
 
@@ -88,21 +89,21 @@ def run_pi0():
     }
 
     predict = jax.jit(
-        lambda p, r, o: policy.predict_action_batch(p, r, o).actions
+        lambda p, r, o: policy.predict_action_batch(p, r, o)
     )
     t0 = time.perf_counter()
     out = predict(params, rng, obs)
-    sync(out)
+    sync(out.actions)
     emit(model="pi0_full", phase="rollout_compile",
          seconds=round(time.perf_counter() - t0, 1))
     for _ in range(2):
         out = predict(params, rng, obs)
-    sync(out)
+    sync(out.actions)
     t0 = time.perf_counter()
     iters = 4
     for _ in range(iters):
         out = predict(params, rng, obs)
-    sync(out)
+    sync(out.actions)
     rollout_ms = (time.perf_counter() - t0) / iters * 1e3
     emit(model="pi0_full", phase="rollout", batch=B,
          ms_per_chunk=round(rollout_ms, 1),
@@ -112,11 +113,11 @@ def run_pi0():
     tx = make_optimizer(OptimizerConfig(lr=1e-6, name="adafactor",
                                         clip_grad=1.0))
     state = create_train_state(lambda r: params, tx, rng)
-
-    sde = policy.predict_action_batch(params, rng, obs)
-    actions = jax.lax.stop_gradient(sde.actions)
-    old_lp = jax.lax.stop_gradient(sde.logprobs)
+    actions = out.actions
+    old_lp = out.logprobs
     adv = jnp.ones((B,), jnp.float32)
+    # single ownership before donation: state.params aliases these buffers
+    del params, out
 
     def ppo_loss(p, obs, actions, old_lp, adv):
         fwd = policy.default_forward(p, obs, actions)
@@ -125,7 +126,9 @@ def run_pi0():
         return -jnp.mean(jnp.minimum(
             ratio * adv, jnp.clip(ratio, 0.8, 1.2) * adv))
 
-    @jax.jit
+    # donate the state: without aliasing, old params + grads + new params
+    # are three 6GB trees live at once and the 16GB chip compile-OOMs
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, obs, actions, old_lp, adv):
         from rlinf_tpu.training.train_state import TrainState
 
@@ -175,15 +178,21 @@ def run_openvla_7b():
                     heads=16)
     policy = OpenVLAPolicy(OpenVLAConfig(), vlm_cfg=trunk, vit_cfg=vit)
     rng = jax.random.PRNGKey(0)
-    params = policy.init(rng)
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if x.dtype == jnp.float32 else x, params)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    # int8 weight-only trunk: 7B bf16 weights alone are ~14GB on a 16GB
-    # chip — quantized decode is the serving path (keep the original
-    # unfused layout: the VLA decode goes through its own scan)
-    params["vlm"] = quantize_params(params["vlm"], fuse=False)
+    # Initialize + quantize the 7B trunk ON HOST: the bf16 tree (14.6GB)
+    # and its int8 copy cannot both live in 16GB of HBM.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = policy.init(rng)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        # int8 weight-only trunk: quantized decode is the serving path
+        # (unfused layout: the VLA decode goes through its own scan)
+        params["vlm"] = quantize_params(params["vlm"], fuse=False)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
     emit(model="openvla_7b", n_params_b=round(n_params / 1e9, 3),
          param_gb=round(tree_bytes(params) / 2**30, 2))
 
