@@ -97,7 +97,11 @@ class Pi0Policy(Policy):
         cfg: Pi0Config = Pi0Config(),
         vlm_cfg: Optional[LLMConfig] = None,
         vit_cfg: Optional[ViTConfig] = None,
+        remat: bool = False,
     ):
+        #: rematerialize trunk+ViT layers in training backward passes —
+        #: required to fit full-geometry (3B-prefix) PPO on one 16GB chip
+        self.remat = remat
         self.cfg = cfg
         self.vlm_cfg = vlm_cfg or LLMConfig.tiny(vocab_size=256, max_seq_len=512)
         self.vit_cfg = vit_cfg or ViTConfig(
@@ -159,7 +163,9 @@ class Pi0Policy(Policy):
         """-> (prefix_k [L,B,Np,K,Hd], prefix_v, prefix_valid [B,Np],
         prefix_len [B], pooled [B,Dv])."""
         c, v = self.cfg, self.vlm_cfg
-        img = vit_encode(params["vit"], self.vit_cfg, obs[c.image_key])
+        img = vit_encode(
+            params["vit"], self.vit_cfg, obs[c.image_key], remat=self.remat
+        )
         img = _mlp_apply([params["img_proj"][0]], img)  # [B, Ni, Dv]
         B, Ni = img.shape[:2]
         toks = [img]
@@ -191,6 +197,7 @@ class Pi0Policy(Policy):
             inputs_embeds=embeds,
             mask_positions=jnp.zeros((B, Np), jnp.int32),  # bidirectional
             return_kv=True,
+            remat=self.remat,
         )
         pooled = jnp.sum(
             hidden.astype(jnp.float32) * pvalid[..., None], axis=1

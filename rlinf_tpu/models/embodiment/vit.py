@@ -112,7 +112,9 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
     )
 
 
-def vit_encode(params: Dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
+def vit_encode(
+    params: Dict, cfg: ViTConfig, images: jax.Array, *, remat: bool = False
+) -> jax.Array:
     """[B, H, W, C] (uint8 or float) -> [B, N, D] patch features.
 
     With ``cfg.cls_token`` the class token is prepended (position 0) and kept
@@ -164,6 +166,10 @@ def vit_encode(params: Dict, cfg: ViTConfig, images: jax.Array) -> jax.Array:
         x = x + (h @ layer["w2"] + (layer["b2"] if timm else 0.0))
         return x, None
 
+    if remat:
+        # full-geometry VLA training: per-layer rematerialization keeps the
+        # 27-layer So400m-class tower's activations off HBM in the bwd pass
+        block = jax.checkpoint(block)
     x, _ = jax.lax.scan(block, x, params["blocks"])
     if timm:
         return _layer_norm(x, params["final_norm"], params["final_norm_b"])

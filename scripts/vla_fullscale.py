@@ -66,7 +66,9 @@ def run_pi0():
     # SigLIP So400m-class ViT: 27 layers, d=1152, patch 14 @ 224.
     vit = ViTConfig(image_size=224, patch_size=14, hidden=1152, layers=27,
                     heads=16)
-    policy = Pi0Policy(Pi0Config.pi0_full(), vlm_cfg=gemma_2b, vit_cfg=vit)
+    policy = Pi0Policy(
+        Pi0Config.pi0_full(), vlm_cfg=gemma_2b, vit_cfg=vit, remat=True
+    )
 
     rng = jax.random.PRNGKey(0)
     params = policy.init(rng)
