@@ -714,10 +714,13 @@ def decode_step_packed_q8(
             vsc = vsc.at[rows, write_pos].set(vs)
         qh = q.reshape(B, cfg.num_heads, cfg.head_dim_)
         if impl == "pallas":
-            blk, rows = _decode_block_config(kc.shape[1], kc.shape[2])
+            # NB: local names must not clobber the ragged-path `rows`
+            # (= arange(B) row indices) used by the next layer's scatter
+            blk, blk_rows = _decode_block_config(kc.shape[1], kc.shape[2])
             attn = decode_attention_packed_q8(
                 qh, kc, vc, ksc, vsc, starts, lengths,
-                num_kv=cfg.num_kv_heads, block_size=blk, block_rows=rows,
+                num_kv=cfg.num_kv_heads, block_size=blk,
+                block_rows=blk_rows,
             )
         else:
             attn = decode_attention_packed_q8_xla(

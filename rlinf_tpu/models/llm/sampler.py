@@ -115,6 +115,7 @@ def generate(
     attn_impl: str = "xla",
     decode_params: Optional[M.Params] = None,
     decode_attn_impl: Optional[str] = None,
+    kv_quant: str = "none",
 ) -> GenerateOutput:
     """Batched generation. Jit-safe: shapes depend only on P and
     sp.max_new_tokens (callers bucket prompts; reference analog is SGLang's
@@ -134,6 +135,16 @@ def generate(
         params, cfg, prompt_ids, prompt_mask, S_max, attn_impl=attn_impl
     )
     kv_layers = M.packed_cache_from_stacked(cache)
+    if kv_quant == "int8":
+        # serving-path int8 KV (halves cache traffic; quantize-on-write
+        # during decode, per-token max-abs scales — models/llm/model.py
+        # decode_step_packed_q8 / ops/pallas q8 kernel)
+        def _q8(kc, vc):
+            kq, ks = M.quantize_packed_kv(kc)
+            vq, vs = M.quantize_packed_kv(vc)
+            return kq, vq, ks, vs
+
+        kv_layers = tuple(_q8(kc, vc) for kc, vc in kv_layers)
     # Left-padded prompt: valid cache slots are the contiguous interval
     # [P - plen, P + t + 1) — exactly what the packed attention kernel takes.
     starts = P - prompt_lens
@@ -142,11 +153,16 @@ def generate(
     rng, sub = jax.random.split(rng)
     tok0, lp0 = sample_from_logits(sub, logits0, sp)
 
+    decode_step = (
+        M.decode_step_packed_q8 if kv_quant == "int8"
+        else M.decode_step_packed
+    )
+
     def step_fn(carry, t):
         rng, prev_tok, kv_layers, done = carry
         slot = P + t  # cache slot for prev_tok's kv (t starts at 0)
         pos = prompt_lens + t  # rope position of prev_tok
-        hidden, kv_layers = M.decode_step_packed(
+        hidden, kv_layers = decode_step(
             dparams, cfg, prev_tok, kv_layers, slot, pos,
             starts, jnp.full((B,), slot + 1, jnp.int32),
             attn_impl=decode_attn_impl,

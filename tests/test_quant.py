@@ -103,3 +103,26 @@ def test_generate_with_int8_decode_params():
     )
     assert agree > 0.7, agree
     assert bool(jnp.all(jnp.isfinite(out_int8.response_logprobs)))
+
+
+def test_generate_int8_kv_cache_matches_bf16():
+    """Static generate with kv_quant=int8 (quantize-on-write cache,
+    decode_step_packed_q8): greedy tokens match the bf16-cache path and
+    behavior logprobs stay close on a tiny model."""
+    cfg = LLMConfig.tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    import numpy as np
+
+    from rlinf_tpu.models.llm import SamplingParams, generate
+
+    r = np.random.default_rng(0)
+    ids = jnp.asarray(r.integers(0, cfg.vocab_size, (4, 16)), jnp.int32)
+    mask = jnp.ones((4, 16), bool)
+    sp = SamplingParams(max_new_tokens=8, greedy=True, eos_token_id=-1)
+    a = generate(params, cfg, jax.random.PRNGKey(1), ids, mask, sp)
+    b = generate(params, cfg, jax.random.PRNGKey(1), ids, mask, sp,
+                 kv_quant="int8")
+    assert (np.asarray(a.response_ids) == np.asarray(b.response_ids)).all()
+    lp_err = np.max(np.abs(
+        np.asarray(a.response_logprobs) - np.asarray(b.response_logprobs)))
+    assert lp_err < 0.05, lp_err

@@ -299,9 +299,45 @@ def check_q8_decode_kernel() -> dict:
     return {"max_err": err}
 
 
+def check_q8_generate() -> dict:
+    """Full static generate on an int8 KV cache (pallas) vs the bf16-cache
+    XLA path: greedy tokens must match, behavior logprobs must stay close
+    (the serving configuration bench measures when kv_quant=int8)."""
+    from rlinf_tpu.models.llm import (
+        LLMConfig, SamplingParams, generate, init_params,
+    )
+
+    cfg = LLMConfig(
+        vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=64, intermediate_size=512, max_seq_len=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    B, P, N = 8, 64, 16
+    r = np.random.default_rng(5)
+    ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B, P)), jnp.int32)
+    mask = jnp.ones((B, P), bool)
+    sp = SamplingParams(max_new_tokens=N, greedy=True, eos_token_id=-1)
+
+    def run(kv_quant, impl):
+        out = jax.jit(lambda p, rg, i, m: generate(
+            p, cfg, rg, i, m, sp, decode_attn_impl=impl,
+            kv_quant=kv_quant))(params, jax.random.PRNGKey(1), ids, mask)
+        return (np.asarray(out.response_ids),
+                np.asarray(out.response_logprobs, np.float32))
+
+    toks_ref, lp_ref = run("none", "xla")
+    toks_q8, lp_q8 = run("int8", "pallas")
+    agree = float((toks_ref == toks_q8).mean())
+    lp_err = float(np.abs(lp_ref - lp_q8).max())
+    assert agree > 0.95, f"q8 generate greedy divergence: agree={agree}"
+    assert lp_err < 0.15, f"q8 generate logprob err {lp_err}"
+    return {"greedy_agree": agree, "lp_max_err": lp_err}
+
+
 CHECKS = [
     ("decode_kernel", check_decode_kernel),
     ("q8_decode_kernel", check_q8_decode_kernel),
+    ("q8_generate", check_q8_generate),
     ("decode_in_model", check_decode_in_model),
     ("flash_train_step", check_flash_train_step),
     ("paged_kernel", check_paged_kernel),
