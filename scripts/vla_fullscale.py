@@ -111,9 +111,13 @@ def run_pi0():
          ms_per_chunk=round(rollout_ms, 1),
          ms_per_env_step=round(rollout_ms / B, 2))
 
-    # one PPO update step (flow-chain logprobs vs behavior, adafactor)
+    # one PPO update step (flow-chain logprobs vs behavior, adafactor).
+    # No clip_by_global_norm: the global norm pins the ENTIRE 6GB grads
+    # tree live simultaneously with params + updates (measured 18.6GB >
+    # 15.75GB HBM); adafactor's built-in per-update clipping
+    # (clipping_threshold=1.0) provides the stability role at this scale.
     tx = make_optimizer(OptimizerConfig(lr=1e-6, name="adafactor",
-                                        clip_grad=1.0))
+                                        clip_grad=0.0))
     state = create_train_state(lambda r: params, tx, rng)
     actions = out.actions
     old_lp = out.logprobs
