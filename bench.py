@@ -90,6 +90,7 @@ def main():
 
         subset = None if parity_mode == "full" else {
             "decode_kernel", "decode_in_model", "flash_train_step",
+            "q8_generate",
         }
         gate = run_all(checks=subset)
         print(json.dumps({"parity_gate": gate}), file=sys.stderr)
@@ -172,6 +173,9 @@ def main():
         lambda p, qp, rng, ids, mask: generate(
             p, cfg, rng, ids, mask, sp, decode_params=qp,
             decode_attn_impl="pallas" if on_tpu else None,
+            # int8 KV cache (quantize-on-write, q8 pallas kernel) — halves
+            # cache traffic; parity-gated by the q8_generate check above
+            kv_quant="int8" if on_tpu else "none",
         )
     )
     ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B_gen, P_gen)), jnp.int32)

@@ -132,30 +132,38 @@ def run_pi0():
         return -jnp.mean(jnp.minimum(
             ratio * adv, jnp.clip(ratio, 0.8, 1.2) * adv))
 
-    # donate the state: without aliasing, old params + grads + new params
-    # are three 6GB trees live at once and the 16GB chip compile-OOMs
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, obs, actions, old_lp, adv):
+    # Split grad/apply jits with donation so only TWO param-sized trees are
+    # ever live (one fused step measured 18.6GB: params + grads + updates
+    # coexist regardless of donation — XLA cannot free the grads before the
+    # last update leaf when they feed one fused optimizer computation).
+    @jax.jit
+    def grad_step(params, obs, actions, old_lp, adv):
+        return jax.value_and_grad(ppo_loss)(params, obs, actions, old_lp, adv)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def apply_step(state, grads):
         from rlinf_tpu.training.train_state import TrainState
 
-        loss, grads = jax.value_and_grad(ppo_loss)(
-            state.params, obs, actions, old_lp, adv)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
             lambda a, u: (a.astype(jnp.float32) + u.astype(jnp.float32)
                           ).astype(a.dtype), state.params, updates)
-        return TrainState(state.step + 1, new_params, new_opt), loss
+        return TrainState(state.step + 1, new_params, new_opt)
+
+    def train_step(state, obs, actions, old_lp, adv):
+        loss, grads = grad_step(state.params, obs, actions, old_lp, adv)
+        return apply_step(state, grads), loss
 
     t0 = time.perf_counter()
     state, loss = train_step(state, obs, actions, old_lp, adv)
-    sync(loss)
+    sync(state.params)
     emit(model="pi0_full", phase="train_compile",
          seconds=round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
         state, loss = train_step(state, obs, actions, old_lp, adv)
-    sync(loss)
+    sync(state.params)
     train_ms = (time.perf_counter() - t0) / iters * 1e3
     emit(model="pi0_full", phase="ppo_update", batch=B,
          ms_per_step=round(train_ms, 1), loss=float(loss),
