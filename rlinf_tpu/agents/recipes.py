@@ -55,15 +55,22 @@ class SearchR1Recipe:
     format_bonus: float = 0.0  # bonus for emitting a well-formed <answer>
 
     def make_loop(self, engine, tokenizer, corpus: Dict[str, str],
-                  retriever: Optional[Callable[[str], str]] = None) -> AgentLoop:
-        tool = (
-            DictSearchTool(corpus)
-            if retriever is None
-            else type("RetrieverTool", (), {
+                  retriever: Optional[Callable[[str], str]] = None,
+                  search_url: Optional[str] = None) -> AgentLoop:
+        """``search_url``: endpoint of a running RetrievalServer
+        (agents/retrieval.py BM25 service) — the reference's retrieval-
+        server deployment; falls back to the in-process corpus tool."""
+        if search_url is not None:
+            from rlinf_tpu.agents.retrieval import HTTPSearchTool
+
+            tool = HTTPSearchTool(search_url)
+        elif retriever is not None:
+            tool = type("RetrieverTool", (), {
                 "name": "search",
                 "__call__": staticmethod(lambda args: retriever(args)),
             })()
-        )
+        else:
+            tool = DictSearchTool(corpus)
         return AgentLoop(
             engine, tokenizer, ToolRegistry([tool]),
             AgentLoopConfig(

@@ -119,9 +119,15 @@ def run_pi0():
     tx = make_optimizer(OptimizerConfig(lr=1e-6, name="adafactor",
                                         clip_grad=0.0))
     state = create_train_state(lambda r: params, tx, rng)
-    actions = out.actions
-    old_lp = out.logprobs
-    adv = jnp.ones((B,), jnp.float32)
+    # PPO microbatch of 4: B=8 activations leave the bwd pass ~1GB over
+    # HBM even with remat + split grad/apply (measured 16.76/15.75G);
+    # per-chip microbatching with grad accumulation is the production
+    # path at this scale anyway (training/learner.py scan microbatches).
+    Bt = 4
+    obs_t = {k: v[:Bt] for k, v in obs.items()}
+    actions = out.actions[:Bt]
+    old_lp = out.logprobs[:Bt]
+    adv = jnp.ones((Bt,), jnp.float32)
     # single ownership before donation: state.params aliases these buffers
     del params, out
 
@@ -150,28 +156,28 @@ def run_pi0():
                           ).astype(a.dtype), state.params, updates)
         return TrainState(state.step + 1, new_params, new_opt)
 
-    def train_step(state, obs, actions, old_lp, adv):
-        loss, grads = grad_step(state.params, obs, actions, old_lp, adv)
+    def train_step(state, obs_mb, actions, old_lp, adv):
+        loss, grads = grad_step(state.params, obs_mb, actions, old_lp, adv)
         return apply_step(state, grads), loss
 
     t0 = time.perf_counter()
-    state, loss = train_step(state, obs, actions, old_lp, adv)
+    state, loss = train_step(state, obs_t, actions, old_lp, adv)
     sync(state.params)
     emit(model="pi0_full", phase="train_compile",
          seconds=round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        state, loss = train_step(state, obs, actions, old_lp, adv)
+        state, loss = train_step(state, obs_t, actions, old_lp, adv)
     sync(state.params)
     train_ms = (time.perf_counter() - t0) / iters * 1e3
-    emit(model="pi0_full", phase="ppo_update", batch=B,
+    emit(model="pi0_full", phase="ppo_update", batch=Bt,
          ms_per_step=round(train_ms, 1), loss=float(loss),
          optimizer="adafactor")
     return {
         "pi0_params_b": round(n_params / 1e9, 3),
         "pi0_rollout_ms_per_chunk_b8": round(rollout_ms, 1),
-        "pi0_ppo_update_ms_b8": round(train_ms, 1),
+        "pi0_ppo_update_ms_b4": round(train_ms, 1),
         "pi0_fit": True,
     }
 
