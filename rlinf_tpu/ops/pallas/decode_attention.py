@@ -358,9 +358,18 @@ def decode_attention_packed_q8(
     if scale is None:
         scale = Hd**-0.5
     block_size = min(block_size, S)
-    n_blocks = pl.cdiv(S, block_size)
     while B % block_rows:
         block_rows //= 2
+    # The 2D scale operands' block shape is (block_rows, block_size): Mosaic
+    # requires the sublane dim divisible by 8 (or == B). Grow rows to 8 and
+    # pay for it by shrinking the block length against the same VMEM budget
+    # the caller's chooser used (int8 kv blocks: 1 byte/elem).
+    if block_rows < 8 and B % 8 == 0:
+        block_rows = 8
+        budget = 2 << 20
+        while block_size > 128 and block_rows * block_size * KD > budget:
+            block_size //= 2
+    n_blocks = pl.cdiv(S, block_size)
     Hp = max(8, H)
 
     head = jnp.arange(H) // G
