@@ -128,8 +128,15 @@ def run_pi0():
     actions = out.actions[:Bt]
     old_lp = out.logprobs[:Bt]
     adv = jnp.ones((Bt,), jnp.float32)
-    # single ownership before donation: state.params aliases these buffers
-    del params, out
+    # single ownership before donation: state.params aliases these buffers.
+    # Also drop the rollout executable + jit caches: its reserved scratch
+    # and the compile cache fragment HBM enough that the (compile-verified-
+    # fitting) train step exhausts memory at RUNTIME.
+    del params, out, predict
+    import gc
+
+    gc.collect()
+    jax.clear_caches()
 
     def ppo_loss(p, obs, actions, old_lp, adv):
         fwd = policy.default_forward(p, obs, actions)
