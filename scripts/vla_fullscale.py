@@ -118,7 +118,6 @@ def run_pi0():
     # (clipping_threshold=1.0) provides the stability role at this scale.
     tx = make_optimizer(OptimizerConfig(lr=1e-6, name="adafactor",
                                         clip_grad=0.0))
-    state = create_train_state(lambda r: params, tx, rng)
     # PPO microbatch of 4: B=8 activations leave the bwd pass ~1GB over
     # HBM even with remat + split grad/apply (measured 16.76/15.75G);
     # per-chip microbatching with grad accumulation is the production
@@ -128,11 +127,8 @@ def run_pi0():
     actions = out.actions[:Bt]
     old_lp = out.logprobs[:Bt]
     adv = jnp.ones((Bt,), jnp.float32)
-    # single ownership before donation: state.params aliases these buffers.
-    # Also drop the rollout executable + jit caches: its reserved scratch
-    # and the compile cache fragment HBM enough that the (compile-verified-
-    # fitting) train step exhausts memory at RUNTIME.
-    del params, out, predict
+    # Drop the rollout executable + jit caches before the train phase.
+    del out, predict
     import gc
 
     gc.collect()
@@ -145,38 +141,51 @@ def run_pi0():
         return -jnp.mean(jnp.minimum(
             ratio * adv, jnp.clip(ratio, 0.8, 1.2) * adv))
 
-    # Split grad/apply jits with donation so only TWO param-sized trees are
-    # ever live (one fused step measured 18.6GB: params + grads + updates
-    # coexist regardless of donation — XLA cannot free the grads before the
-    # last update leaf when they feed one fused optimizer computation).
     @jax.jit
     def grad_step(params, obs, actions, old_lp, adv):
         return jax.value_and_grad(ppo_loss)(params, obs, actions, old_lp, adv)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def apply_step(state, grads):
-        from rlinf_tpu.training.train_state import TrainState
+    # LEAF-WISE adafactor apply with per-leaf donation: one fused
+    # params+grads+updates step needs three 6GB trees live (measured
+    # 18.6GB; a split apply still OOMs at runtime — the axon backend
+    # reports the whole-tree donation "not usable"). Applying per leaf
+    # bounds the peak at params + grads + ONE leaf's temporaries, the
+    # memory discipline a pod-scale trainer would get from sharded
+    # optimizer states.
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def leaf_apply(p, g, s):
+        updates, new_s = tx.update(g, s, p)
+        new_p = (p.astype(jnp.float32) + updates.astype(jnp.float32)
+                 ).astype(p.dtype)
+        return new_p, new_s
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda a, u: (a.astype(jnp.float32) + u.astype(jnp.float32)
-                          ).astype(a.dtype), state.params, updates)
-        return TrainState(state.step + 1, new_params, new_opt)
+    flat_params, treedef = jax.tree_util.tree_flatten(params)
+    del params
+    opt_states = [tx.init(p) for p in flat_params]
 
-    def train_step(state, obs_mb, actions, old_lp, adv):
-        loss, grads = grad_step(state.params, obs_mb, actions, old_lp, adv)
-        return apply_step(state, grads), loss
+    def train_step(flat_params, opt_states, obs_mb, actions, old_lp, adv):
+        p_tree = jax.tree_util.tree_unflatten(treedef, flat_params)
+        loss, grads = grad_step(p_tree, obs_mb, actions, old_lp, adv)
+        del p_tree
+        flat_grads = jax.tree_util.tree_leaves(grads)
+        del grads
+        for i in range(len(flat_params)):
+            flat_params[i], opt_states[i] = leaf_apply(
+                flat_params[i], flat_grads[i], opt_states[i])
+            flat_grads[i] = None
+        return loss
 
     t0 = time.perf_counter()
-    state, loss = train_step(state, obs_t, actions, old_lp, adv)
-    sync(state.params)
+    loss = train_step(flat_params, opt_states, obs_t, actions, old_lp, adv)
+    sync(flat_params[0])
     emit(model="pi0_full", phase="train_compile",
          seconds=round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        state, loss = train_step(state, obs_t, actions, old_lp, adv)
-    sync(state.params)
+        loss = train_step(flat_params, opt_states, obs_t, actions, old_lp,
+                          adv)
+    sync(flat_params[0])
     train_ms = (time.perf_counter() - t0) / iters * 1e3
     emit(model="pi0_full", phase="ppo_update", batch=Bt,
          ms_per_step=round(train_ms, 1), loss=float(loss),
