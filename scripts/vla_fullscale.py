@@ -207,6 +207,9 @@ def run_pi0():
         )
         loss, grads = grad_step(p_tree, obs_mb, actions, old_lp, adv)
         del p_tree
+        # force the (deferred-execution) backward to actually run and free
+        # its workspace before the optimizer sweep allocates
+        sync(loss)
         flat_grads = jax.tree_util.tree_leaves(grads)
         del grads
         for i in range(len(flat_params)):
