@@ -52,6 +52,13 @@ class OptimizerConfig:
     #: adamw first-moment dtype ("float32" | "bfloat16"): bf16 halves the
     #: m-buffer at negligible quality cost (the v buffer stays f32)
     moment_dtype: str = "float32"
+    #: keep an f32 MASTER copy of the params in the optimizer state and
+    #: derive each step's update from it. Required for serious bf16-param
+    #: training: a bf16 parameter near 0.02 has ~7.8e-5 ulp, so adamw-scale
+    #: updates (~lr) round to ZERO in the plain path and training silently
+    #: stalls. The reference gets this from Megatron's fp32 main params /
+    #: torch AMP master weights.
+    master_weights: bool = False
 
 
 def make_schedule(cfg: OptimizerConfig):
@@ -98,7 +105,38 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         optax.clip_by_global_norm(cfg.clip_grad) if cfg.clip_grad > 0 else optax.identity(),
         inner,
     )
+    if cfg.master_weights:
+        tx = with_master_weights(tx)
     return tx
+
+
+def with_master_weights(inner: optax.GradientTransformation):
+    """Wrap a transformation with an f32 master copy of the params.
+
+    The inner optimizer runs entirely in f32 against the master; the emitted
+    update is ``new_master - params`` in f32, so the caller's standard apply
+    ``(p.f32 + u).astype(p.dtype)`` lands exactly on the rounded master.
+    Sub-ulp updates accumulate in the master instead of vanishing in bf16.
+    """
+    import jax
+
+    def init(params):
+        master = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.float32), params)
+        return {"inner": inner.init(master), "master": master}
+
+    def update(grads, state, params=None):
+        grads32 = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), grads)
+        updates32, inner_state = inner.update(
+            grads32, state["inner"], state["master"])
+        new_master = jax.tree_util.tree_map(
+            lambda m, u: m + u, state["master"], updates32)
+        emitted = jax.tree_util.tree_map(
+            lambda m, p: m - p.astype(jnp.float32), new_master, params)
+        return emitted, {"inner": inner_state, "master": new_master}
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_train_state(

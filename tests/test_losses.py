@@ -137,3 +137,38 @@ def test_grpo_loss_is_ppo_clip():
         loss_mask=jnp.ones((2, 3), bool), clip_ratio_low=0.2, clip_ratio_high=0.2,
     )
     np.testing.assert_allclose(float(loss), -1.0, rtol=1e-6)
+
+
+def test_master_weights_accumulate_sub_ulp_updates():
+    """bf16 params + tiny lr: without master weights updates round to zero
+    and training silently stalls; with them sub-ulp updates accumulate
+    (the Megatron fp32-main-params behavior)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rlinf_tpu.training.train_state import (
+        OptimizerConfig, make_optimizer,
+    )
+
+    p0 = jnp.full((64,), 0.5, jnp.bfloat16)  # ulp ~ 2^-9 ~ 2e-3
+    g = jnp.full((64,), 1.0, jnp.bfloat16)
+    lr = 1e-5  # adamw step magnitude ~ lr << bf16 ulp at 0.5
+
+    def run(master, steps):
+        tx = make_optimizer(OptimizerConfig(
+            lr=lr, clip_grad=0.0, master_weights=master))
+        p = p0
+        s = tx.init(p)
+        for _ in range(steps):
+            u, s = tx.update(g, s, p)
+            p = (p.astype(jnp.float32) + u.astype(jnp.float32)
+                 ).astype(p.dtype)
+        return float(np.asarray(p.astype(jnp.float32))[0])
+
+    # without master: updates vanish FOREVER (each step rounds to 0.5)
+    assert run(False, 300) == 0.5
+    # with master: sub-ulp drift accumulates in f32 and the visible bf16
+    # param moves once it crosses half an ulp (~1e-3 at 0.5)
+    moved = run(True, 300)
+    assert moved < 0.5 - 5e-4, moved
