@@ -167,44 +167,35 @@ def run_pi0():
     BIG = 256 * 2**20
     CHUNKS = 8
 
-    slice_j = jax.jit(
-        lambda p, j: jax.lax.dynamic_index_in_dim(p, j, 0, keepdims=False))
+    def chunk_of(p, j, n):
+        r = p.shape[0] // n
+        return jax.lax.dynamic_slice_in_dim(p, j * r, r, 0)
+
+    slice_j = jax.jit(chunk_of, static_argnums=(2,))
     write_j = jax.jit(
-        lambda p, j, v: jax.lax.dynamic_update_index_in_dim(
-            p, v, j, 0), donate_argnums=(0,))
+        lambda p, j, v, n: jax.lax.dynamic_update_slice_in_dim(
+            p, v, j * (p.shape[0] // n), 0),
+        static_argnums=(3,), donate_argnums=(0,))
 
     flat_params, treedef = jax.tree_util.tree_flatten(params)
     del params
 
-    def as_chunked(p):
-        """big leaf -> (reshaped leaf, n_chunks); small -> (p, 0)."""
+    def n_chunks(p):
         if p.size * p.dtype.itemsize <= BIG:
-            return p, 0
+            return 0
         if p.ndim >= 3 and p.shape[0] <= 64:
-            return p, p.shape[0]          # stacked layers: chunk = layer
+            return p.shape[0]             # stacked layers: chunk = layer
         assert p.shape[0] % CHUNKS == 0, p.shape
-        return p.reshape(CHUNKS, p.shape[0] // CHUNKS, *p.shape[1:]), CHUNKS
+        return CHUNKS                     # embed: row bands
 
-    chunk_spec = []
-    for i, p in enumerate(flat_params):
-        reshaped, n = as_chunked(p)
-        flat_params[i] = reshaped
-        chunk_spec.append(n)
+    chunk_spec = [n_chunks(p) for p in flat_params]
     opt_states = [
-        [tx.init(slice_j(p, j)) for j in range(n)] if n else tx.init(p)
+        [tx.init(slice_j(p, j, n)) for j in range(n)] if n else tx.init(p)
         for p, n in zip(flat_params, chunk_spec)
     ]
 
-    def restore_shape(p, i):
-        # undo the embed's [CHUNKS, V/CHUNKS, D] view for the forward pass
-        return p.reshape(-1, p.shape[-1]) if (
-            chunk_spec[i] == CHUNKS and p.ndim == 3) else p
-
     def train_step(flat_params, opt_states, obs_mb, actions, old_lp, adv):
-        p_tree = jax.tree_util.tree_unflatten(
-            treedef,
-            [restore_shape(p, i) for i, p in enumerate(flat_params)],
-        )
+        p_tree = jax.tree_util.tree_unflatten(treedef, flat_params)
         loss, grads = grad_step(p_tree, obs_mb, actions, old_lp, adv)
         del p_tree
         # force the (deferred-execution) backward to actually run and free
@@ -218,12 +209,13 @@ def run_pi0():
                 flat_params[i], opt_states[i] = leaf_apply(
                     flat_params[i], flat_grads[i], opt_states[i])
             else:
-                g = flat_grads[i].reshape(flat_params[i].shape)
                 for j in range(n):
                     new_sub, opt_states[i][j] = leaf_apply(
-                        slice_j(flat_params[i], j), slice_j(g, j),
+                        slice_j(flat_params[i], j, n),
+                        slice_j(flat_grads[i], j, n),
                         opt_states[i][j])
-                    flat_params[i] = write_j(flat_params[i], j, new_sub)
+                    flat_params[i] = write_j(
+                        flat_params[i], j, new_sub, n)
             flat_grads[i] = None
         return loss
 
