@@ -44,16 +44,13 @@ def tree_bytes(tree):
                for x in jax.tree_util.tree_leaves(tree))
 
 
-def run_pi0():
+def _build_pi0():
     import jax
     import jax.numpy as jnp
 
     from rlinf_tpu.models.embodiment.openpi import Pi0Config, Pi0Policy
     from rlinf_tpu.models.embodiment.vit import ViTConfig
     from rlinf_tpu.models.llm.config import LLMConfig
-    from rlinf_tpu.training.train_state import (
-        OptimizerConfig, create_train_state, make_optimizer,
-    )
 
     # PaliGemma's Gemma-2B trunk geometry (18 layers, d=2048, head_dim 256,
     # ffn 16384, 256k vocab).
@@ -69,7 +66,6 @@ def run_pi0():
     policy = Pi0Policy(
         Pi0Config.pi0_full(), vlm_cfg=gemma_2b, vit_cfg=vit, remat=True
     )
-
     rng = jax.random.PRNGKey(0)
     params = policy.init(rng)
     # cast the f32-initialized expert/heads to bf16: the published model
@@ -77,19 +73,33 @@ def run_pi0():
     params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, params)
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    emit(model="pi0_full", n_params_b=round(n_params / 1e9, 3),
-         param_gb=round(tree_bytes(params) / 2**30, 2))
+    return policy, params
 
-    B = 8   # envs per chip (reference embodied configs run 8-16 per GPU)
+
+def _pi0_obs(policy, B):
+    import jax.numpy as jnp
+
     c = policy.cfg
-    obs = {
+    return {
         c.image_key: jnp.zeros((B, 224, 224, 3), jnp.bfloat16),
         c.text_key: jnp.zeros((B, 32), jnp.int32),
         c.text_mask_key: jnp.ones((B, 32), bool),
         c.state_key: jnp.zeros((B, c.state_dim), jnp.float32),
     }
 
+
+def run_pi0_rollout():
+    """Full-geometry pi0 prefill + flow-SDE rollout latency (B=8)."""
+    import jax
+
+    policy, params = _build_pi0()
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    emit(model="pi0_full", n_params_b=round(n_params / 1e9, 3),
+         param_gb=round(tree_bytes(params) / 2**30, 2))
+
+    B = 8   # envs per chip (reference embodied configs run 8-16 per GPU)
+    rng = jax.random.PRNGKey(0)
+    obs = _pi0_obs(policy, B)
     predict = jax.jit(
         lambda p, r, o: policy.predict_action_batch(p, r, o)
     )
@@ -110,6 +120,26 @@ def run_pi0():
     emit(model="pi0_full", phase="rollout", batch=B,
          ms_per_chunk=round(rollout_ms, 1),
          ms_per_env_step=round(rollout_ms / B, 2))
+    return {
+        "pi0_params_b": round(n_params / 1e9, 3),
+        "pi0_rollout_ms_per_chunk_b8": round(rollout_ms, 1),
+        "pi0_rollout_fit": True,
+    }
+
+
+def run_pi0_train():
+    """Full-geometry pi0 PPO update with adafactor (fresh process: the
+    rollout executable's allocator residue otherwise tips the backward over
+    HBM). Behavior chain/logprobs are one on-policy forward at the train
+    microbatch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlinf_tpu.training.train_state import (
+        OptimizerConfig, make_optimizer,
+    )
+
+    policy, params = _build_pi0()
 
     # one PPO update step (flow-chain logprobs vs behavior, adafactor).
     # No clip_by_global_norm: the global norm pins the ENTIRE 6GB grads
@@ -123,12 +153,15 @@ def run_pi0():
     # per-chip microbatching with grad accumulation is the production
     # path at this scale anyway (training/learner.py scan microbatches).
     Bt = 4
-    obs_t = {k: v[:Bt] for k, v in obs.items()}
-    actions = out.actions[:Bt]
-    old_lp = out.logprobs[:Bt]
+    obs_t = _pi0_obs(policy, Bt)
+    c = policy.cfg
+    rng = jax.random.PRNGKey(1)
+    sde = jax.jit(lambda p, r, o: policy.predict_action_batch(p, r, o))(
+        params, rng, obs_t)
+    actions = sde.actions
+    old_lp = sde.logprobs
     adv = jnp.ones((Bt,), jnp.float32)
-    # Drop the rollout executable + jit caches before the train phase.
-    del out, predict
+    del sde
     import gc
 
     gc.collect()
@@ -235,10 +268,8 @@ def run_pi0():
          ms_per_step=round(train_ms, 1), loss=float(loss),
          optimizer="adafactor")
     return {
-        "pi0_params_b": round(n_params / 1e9, 3),
-        "pi0_rollout_ms_per_chunk_b8": round(rollout_ms, 1),
         "pi0_ppo_update_ms_b4": round(train_ms, 1),
-        "pi0_fit": True,
+        "pi0_train_fit": True,
     }
 
 
@@ -310,23 +341,44 @@ def run_openvla_7b():
     }
 
 
-def main():
-    summary = {}
-    try:
-        summary.update(run_pi0())
-    except Exception as e:  # noqa: BLE001
-        emit(model="pi0_full", error=str(e)[:400])
-        summary["pi0_fit"] = False
-        summary["pi0_error"] = str(e)[:200]
-    import gc
+PHASES = {
+    "pi0_rollout": run_pi0_rollout,
+    "pi0_train": run_pi0_train,
+    "openvla": run_openvla_7b,
+}
 
-    gc.collect()
-    try:
-        summary.update(run_openvla_7b())
-    except Exception as e:  # noqa: BLE001
-        emit(model="openvla_7b", error=str(e)[:400])
-        summary["openvla_fit"] = False
-        summary["openvla_error"] = str(e)[:200]
+
+def main():
+    import sys
+
+    if len(sys.argv) > 1:           # child mode: one phase, fresh process
+        phase = sys.argv[1]
+        try:
+            out = PHASES[phase]()
+        except Exception as e:  # noqa: BLE001
+            emit(model=phase, error=str(e)[:400])
+            out = {f"{phase}_fit": False, f"{phase}_error": str(e)[:200]}
+        print("PHASE_RESULT " + json.dumps(out), flush=True)
+        return
+
+    # parent: each phase in its own process — HBM fragmentation from one
+    # phase's executables must not tip the next phase's allocator
+    import os
+    import subprocess
+    import sys as _sys
+
+    summary = {}
+    for phase in PHASES:
+        proc = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__), phase],
+            capture_output=True, text=True, timeout=2400,
+        )
+        _sys.stderr.write(proc.stderr[-2000:])
+        for line in proc.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+            if line.startswith("PHASE_RESULT "):
+                summary.update(json.loads(line[len("PHASE_RESULT "):]))
     emit(summary=summary)
     with open("logs/vla_fullscale.json", "w") as f:
         json.dump(summary, f, indent=1)
