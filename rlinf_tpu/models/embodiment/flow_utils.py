@@ -128,20 +128,27 @@ def chain_logprobs(
     chain: jax.Array,
     *,
     noise_scale: float,
+    remat: bool = False,
 ) -> jax.Array:
     """Per-step logprobs of a stored chain [B, S+1, ...] under CURRENT params
-    (the PPO 'new logprob' recompute). Returns [B, S]."""
+    (the PPO 'new logprob' recompute). Returns [B, S].
+
+    ``remat``: rematerialize each step's velocity pass in the backward —
+    without it the S unrolled expert passes all keep their activations live
+    (measured: the dominant share of a 4GB+ bwd workspace at pi0 full
+    geometry), with it the peak is one pass."""
     B, S1 = chain.shape[:2]
     steps = S1 - 1
     dt = 1.0 / steps
     std = noise_scale * math.sqrt(dt)
     dims = tuple(range(1, chain.ndim - 1))
+    vfn = jax.checkpoint(velocity_fn) if remat else velocity_fn
 
     def step_lp(i, _):
         x_k = chain[:, i]
         x_next = chain[:, i + 1]
         t = jnp.full((B,), i * dt, jnp.float32)
-        mean = x_k + dt * velocity_fn(x_k, t)
+        mean = x_k + dt * vfn(x_k, t)
         z = (x_next - mean) / std
         lp = jnp.sum(
             -0.5 * jnp.square(z) - math.log(std) - 0.5 * _LOG_2PI, axis=dims

@@ -98,10 +98,14 @@ class Pi0Policy(Policy):
         vlm_cfg: Optional[LLMConfig] = None,
         vit_cfg: Optional[ViTConfig] = None,
         remat: bool = False,
+        unroll_layers: bool = False,
     ):
         #: rematerialize trunk+ViT layers in training backward passes —
         #: required to fit full-geometry (3B-prefix) PPO on one 16GB chip
         self.remat = remat
+        #: python-unroll the trunk/ViT layer loops: avoids XLA's hoisted
+        #: whole-stack weight transposes in scan backwards (GBs at 2B+)
+        self.unroll_layers = unroll_layers
         self.cfg = cfg
         self.vlm_cfg = vlm_cfg or LLMConfig.tiny(vocab_size=256, max_seq_len=512)
         self.vit_cfg = vit_cfg or ViTConfig(
@@ -164,7 +168,8 @@ class Pi0Policy(Policy):
         prefix_len [B], pooled [B,Dv])."""
         c, v = self.cfg, self.vlm_cfg
         img = vit_encode(
-            params["vit"], self.vit_cfg, obs[c.image_key], remat=self.remat
+            params["vit"], self.vit_cfg, obs[c.image_key], remat=self.remat,
+            unroll=self.unroll_layers,
         )
         img = _mlp_apply([params["img_proj"][0]], img)  # [B, Ni, Dv]
         B, Ni = img.shape[:2]
@@ -198,6 +203,7 @@ class Pi0Policy(Policy):
             mask_positions=jnp.zeros((B, Np), jnp.int32),  # bidirectional
             return_kv=True,
             remat=self.remat,
+            unroll_layers=self.unroll_layers,
         )
         pooled = jnp.sum(
             hidden.astype(jnp.float32) * pvalid[..., None], axis=1
@@ -325,7 +331,8 @@ class Pi0Policy(Policy):
             B, -1, c.action_chunk, c.action_dim
         )
         fn, pooled = self._velocity_fn(params, obs)
-        lp = chain_logprobs(fn, chain, noise_scale=c.sde_noise_scale)
+        lp = chain_logprobs(fn, chain, noise_scale=c.sde_noise_scale,
+                            remat=self.remat)
         ent = chain_entropy_like(
             lp, c.action_chunk * c.action_dim, chain.shape[1] - 1,
             c.sde_noise_scale,

@@ -113,7 +113,8 @@ def patchify(images: jax.Array, patch: int) -> jax.Array:
 
 
 def vit_encode(
-    params: Dict, cfg: ViTConfig, images: jax.Array, *, remat: bool = False
+    params: Dict, cfg: ViTConfig, images: jax.Array, *, remat: bool = False,
+    unroll: bool = False,
 ) -> jax.Array:
     """[B, H, W, C] (uint8 or float) -> [B, N, D] patch features.
 
@@ -170,7 +171,13 @@ def vit_encode(
         # full-geometry VLA training: per-layer rematerialization keeps the
         # 27-layer So400m-class tower's activations off HBM in the bwd pass
         block = jax.checkpoint(block)
-    x, _ = jax.lax.scan(block, x, params["blocks"])
+    if unroll:
+        # avoid XLA's hoisted whole-stack weight transposes in scan bwd
+        for i in range(cfg.layers):
+            layer = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            x, _ = block(x, layer)
+    else:
+        x, _ = jax.lax.scan(block, x, params["blocks"])
     if timm:
         return _layer_norm(x, params["final_norm"], params["final_norm_b"])
     return rms_norm(x, params["final_norm"])

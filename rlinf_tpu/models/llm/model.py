@@ -229,6 +229,7 @@ def forward_hidden(
     return_kv: bool = False,
     remat: bool = False,
     return_aux: bool = False,
+    unroll_layers: bool = False,
 ) -> Tuple[jax.Array, Optional[KVCache]]:
     """Token ids -> final hidden states [B, S, D] (pre-lm_head).
 
@@ -281,14 +282,33 @@ def forward_hidden(
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         )
 
-    def scan_fn(carry, layer):
-        x, aux_sum = carry
-        x, kv, aux = block_fn(x, layer)
-        return (x, aux_sum + aux), kv if return_kv else None
+    if unroll_layers:
+        # Python-unrolled layer loop: the scan form makes XLA's backward
+        # hoist loop-invariant TRANSPOSES of the whole stacked weight
+        # tensors out of the loop (measured: several 1.2GB copies at
+        # Gemma-2B geometry -> ~8GB bwd workspace); unrolled, each layer's
+        # dgrad transposes a single 64MB slice and frees it.
+        aux_sum = jnp.zeros((), jnp.float32)
+        kv_list = []
+        for i in range(cfg.num_layers):
+            layer = jax.tree_util.tree_map(lambda a: a[i], params["blocks"])
+            x, kv, aux = block_fn(x, layer)
+            aux_sum = aux_sum + aux
+            if return_kv:
+                kv_list.append(kv)
+        kvs = (
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *kv_list)
+            if return_kv else None
+        )
+    else:
+        def scan_fn(carry, layer):
+            x, aux_sum = carry
+            x, kv, aux = block_fn(x, layer)
+            return (x, aux_sum + aux), kv if return_kv else None
 
-    (x, aux_sum), kvs = jax.lax.scan(
-        scan_fn, (x, jnp.zeros((), jnp.float32)), params["blocks"]
-    )
+        (x, aux_sum), kvs = jax.lax.scan(
+            scan_fn, (x, jnp.zeros((), jnp.float32)), params["blocks"]
+        )
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     cache = KVCache(k=kvs[0], v=kvs[1]) if return_kv else None
     if return_aux:

@@ -64,7 +64,8 @@ def _build_pi0():
     vit = ViTConfig(image_size=224, patch_size=14, hidden=1152, layers=27,
                     heads=16)
     policy = Pi0Policy(
-        Pi0Config.pi0_full(), vlm_cfg=gemma_2b, vit_cfg=vit, remat=True
+        Pi0Config.pi0_full(), vlm_cfg=gemma_2b, vit_cfg=vit, remat=True,
+        unroll_layers=True,
     )
     rng = jax.random.PRNGKey(0)
     params = policy.init(rng)
@@ -152,7 +153,7 @@ def run_pi0_train():
     # HBM even with remat + split grad/apply (measured 16.76/15.75G);
     # per-chip microbatching with grad accumulation is the production
     # path at this scale anyway (training/learner.py scan microbatches).
-    Bt = 4
+    Bt = 2
     obs_t = _pi0_obs(policy, Bt)
     c = policy.cfg
     rng = jax.random.PRNGKey(1)
@@ -160,23 +161,31 @@ def run_pi0_train():
         params, rng, obs_t)
     actions = sde.actions
     old_lp = sde.logprobs
+    sync(actions)
     adv = jnp.ones((Bt,), jnp.float32)
     del sde
     import gc
 
     gc.collect()
     jax.clear_caches()
+    emit(model="pi0_train", phase="behavior_forward_done")
 
-    def ppo_loss(p, obs, actions, old_lp, adv):
-        fwd = policy.default_forward(p, obs, actions)
+    # Two-pass parameter-group backward (grads wrt the 2B trunk, then wrt
+    # ViT+expert+heads with the trunk frozen): one full backward's
+    # args+grads+workspace is 18GB at this geometry even with per-layer
+    # remat and unrolled scans (AOT memory_analysis), while each group pass
+    # is ~14.3GB. Same gradients, two passes — the parameter-group
+    # accumulation a pod would avoid by sharding.
+    def group_loss(live, frozen, o, a, l, ad):
+        p = {**live, **jax.lax.stop_gradient(frozen)}
+        fwd = policy.default_forward(p, o, a)
         lp = fwd["logprobs"]
-        ratio = jnp.exp(jnp.sum(lp - old_lp, axis=-1).clip(-10, 10))
-        return -jnp.mean(jnp.minimum(
-            ratio * adv, jnp.clip(ratio, 0.8, 1.2) * adv))
+        ratio = jnp.exp(jnp.sum(lp - l, axis=-1).clip(-10, 10))
+        return -jnp.mean(jnp.minimum(ratio * ad, jnp.clip(ratio, 0.8, 1.2) * ad))
 
-    @jax.jit
-    def grad_step(params, obs, actions, old_lp, adv):
-        return jax.value_and_grad(ppo_loss)(params, obs, actions, old_lp, adv)
+    grad_group = jax.jit(
+        lambda live, frozen, o, a, l, ad:
+        jax.value_and_grad(group_loss)(live, frozen, o, a, l, ad))
 
     # LEAF-WISE adafactor apply with per-leaf donation: one fused
     # params+grads+updates step needs three 6GB trees live (measured
@@ -210,9 +219,6 @@ def run_pi0_train():
             p, v, j * (p.shape[0] // n), 0),
         static_argnums=(3,), donate_argnums=(0,))
 
-    flat_params, treedef = jax.tree_util.tree_flatten(params)
-    del params
-
     def n_chunks(p):
         if p.size * p.dtype.itemsize <= BIG:
             return 0
@@ -221,54 +227,73 @@ def run_pi0_train():
         assert p.shape[0] % CHUNKS == 0, p.shape
         return CHUNKS                     # embed: row bands
 
-    chunk_spec = [n_chunks(p) for p in flat_params]
-    opt_states = [
-        [tx.init(slice_j(p, j, n)) for j in range(n)] if n else tx.init(p)
-        for p, n in zip(flat_params, chunk_spec)
-    ]
+    groups = [("vlm",), tuple(k for k in params if k != "vlm")]
+    chunk_spec = {
+        k: [n_chunks(p) for p in jax.tree_util.tree_leaves(params[k])]
+        for k in params
+    }
+    opt_states = {
+        k: [
+            [tx.init(slice_j(p, j, n)) for j in range(n)] if n
+            else tx.init(p)
+            for p, n in zip(
+                jax.tree_util.tree_leaves(params[k]), chunk_spec[k])
+        ]
+        for k in params
+    }
 
-    def train_step(flat_params, opt_states, obs_mb, actions, old_lp, adv):
-        p_tree = jax.tree_util.tree_unflatten(treedef, flat_params)
-        loss, grads = grad_step(p_tree, obs_mb, actions, old_lp, adv)
-        del p_tree
-        # force the (deferred-execution) backward to actually run and free
-        # its workspace before the optimizer sweep allocates
-        sync(loss)
-        flat_grads = jax.tree_util.tree_leaves(grads)
-        del grads
-        for i in range(len(flat_params)):
-            n = chunk_spec[i]
+    def apply_group(key, grads):
+        flat_p, tdef = jax.tree_util.tree_flatten(params[key])
+        flat_g = jax.tree_util.tree_leaves(grads)
+        flat_n = chunk_spec[key]
+        flat_s = opt_states[key]
+        for i in range(len(flat_p)):
+            n = flat_n[i]
             if not n:
-                flat_params[i], opt_states[i] = leaf_apply(
-                    flat_params[i], flat_grads[i], opt_states[i])
+                flat_p[i], flat_s[i] = leaf_apply(
+                    flat_p[i], flat_g[i], flat_s[i])
             else:
                 for j in range(n):
-                    new_sub, opt_states[i][j] = leaf_apply(
-                        slice_j(flat_params[i], j, n),
-                        slice_j(flat_grads[i], j, n),
-                        opt_states[i][j])
-                    flat_params[i] = write_j(
-                        flat_params[i], j, new_sub, n)
-            flat_grads[i] = None
+                    new_sub, flat_s[i][j] = leaf_apply(
+                        slice_j(flat_p[i], j, n),
+                        slice_j(flat_g[i], j, n),
+                        flat_s[i][j])
+                    flat_p[i] = write_j(flat_p[i], j, new_sub, n)
+            flat_g[i] = None
+        params[key] = jax.tree_util.tree_unflatten(tdef, flat_p)
+
+    def train_step(obs_mb, actions, old_lp, adv):
+        loss = None
+        for keys in groups:
+            live = {k: params[k] for k in keys}
+            frozen = {k: v for k, v in params.items() if k not in keys}
+            loss, grads = grad_group(
+                live, frozen, obs_mb, actions, old_lp, adv)
+            del live, frozen
+            # force the (deferred-execution) backward to run and free its
+            # workspace before the optimizer sweep allocates
+            sync(loss)
+            for k in keys:
+                apply_group(k, grads[k])
+            del grads
         return loss
 
     t0 = time.perf_counter()
-    loss = train_step(flat_params, opt_states, obs_t, actions, old_lp, adv)
-    sync(flat_params[0])
+    loss = train_step(obs_t, actions, old_lp, adv)
+    sync(params["expert"]["wq"])
     emit(model="pi0_full", phase="train_compile",
          seconds=round(time.perf_counter() - t0, 1))
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        loss = train_step(flat_params, opt_states, obs_t, actions, old_lp,
-                          adv)
-    sync(flat_params[0])
+        loss = train_step(obs_t, actions, old_lp, adv)
+    sync(params["expert"]["wq"])
     train_ms = (time.perf_counter() - t0) / iters * 1e3
     emit(model="pi0_full", phase="ppo_update", batch=Bt,
          ms_per_step=round(train_ms, 1), loss=float(loss),
          optimizer="adafactor")
     return {
-        "pi0_ppo_update_ms_b4": round(train_ms, 1),
+        "pi0_ppo_update_ms_b2": round(train_ms, 1),
         "pi0_train_fit": True,
     }
 
