@@ -90,7 +90,7 @@ def main():
 
         subset = None if parity_mode == "full" else {
             "decode_kernel", "decode_in_model", "flash_train_step",
-            "q8_generate",
+            "q8_generate", "fused_ce",
         }
         gate = run_all(checks=subset)
         print(json.dumps({"parity_gate": gate}), file=sys.stderr)

@@ -94,6 +94,51 @@ def fused_linear_logprobs_and_entropy(
     return lp, ent
 
 
+def linear_logprobs_and_entropy(
+    params,
+    cfg,
+    hidden: jax.Array,
+    target_ids: jax.Array,
+    *,
+    chunk_size: int = 256,
+    temperature: float = 1.0,
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatching front-end for the lm-head logprob/entropy computation.
+
+    impl="auto" picks the fused Pallas kernel (ops/pallas/linear_ce.py) on
+    TPU — zero f32 logits materialization, tied-embedding ``[V, D]`` layout
+    taken directly — and the chunked-scan XLA path elsewhere.  Tolerances:
+    the Pallas path emits bf16 ``dz``/``dh`` gradients (the bf16-training
+    gradient class); forward logprobs/entropy are f32-exact to ~1e-4.
+    """
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from rlinf_tpu.models.llm.quant import QTensor
+        from rlinf_tpu.ops.pallas.linear_ce import fused_linear_ce
+
+        if "lm_head" in params and not isinstance(params["lm_head"], QTensor):
+            return fused_linear_ce(
+                hidden, params["lm_head"], target_ids,
+                temperature=temperature, w_layout="dv",
+            )
+        if "lm_head" not in params and not isinstance(
+            params["embed"], QTensor
+        ):
+            return fused_linear_ce(
+                hidden, params["embed"], target_ids,
+                temperature=temperature, w_layout="vd",
+            )
+    from rlinf_tpu.models.llm.model import lm_head_weight
+
+    w = lm_head_weight(params, cfg)
+    return fused_linear_logprobs_and_entropy(
+        hidden, w, target_ids, chunk_size=chunk_size, temperature=temperature
+    )
+
+
 def vocab_parallel_logprobs_and_entropy(
     hidden: jax.Array,
     lm_head: jax.Array,

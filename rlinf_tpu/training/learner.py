@@ -27,7 +27,7 @@ from rlinf_tpu.algorithms.losses import compute_ppo_actor_loss
 from rlinf_tpu.algorithms.utils import kl_penalty, masked_mean
 from rlinf_tpu.models.llm import model as M
 from rlinf_tpu.models.llm.config import LLMConfig
-from rlinf_tpu.ops.logprobs import fused_linear_logprobs_and_entropy
+from rlinf_tpu.ops.logprobs import linear_logprobs_and_entropy
 from rlinf_tpu.parallel.mesh import AxisNames as Ax
 from rlinf_tpu.training.train_state import TrainState
 
@@ -128,6 +128,8 @@ def make_policy_train_step(
     remat: bool = True,
     attn_impl: str = "xla",
     mesh: Optional[Mesh] = None,
+    unroll_layers: bool = False,
+    grad_acc_dtype=None,
 ) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict]]:
     """Build the jitted train step.
 
@@ -140,6 +142,16 @@ def make_policy_train_step(
       old_logprobs    fp32   behavior logprobs aligned with target_ids
       advantages      fp32   per-token advantages aligned with target_ids
       ref_logprobs    fp32   optional reference-policy logprobs
+
+    unroll_layers: Python-unrolled layer loop instead of lax.scan — at
+      multi-GB geometry the scan backward hoists whole-stack weight
+      transposes out of the loop (see models/llm/model.py forward_hidden);
+      unrolling trades compile time for that HBM workspace.
+    grad_acc_dtype: dtype of the microbatch gradient accumulator (default
+      f32).  bf16 halves both the accumulator's HBM residency and the
+      n_mb×(read+write) accumulation traffic — measured ~90ms/step at the
+      1.5B with n_mb=8 — at the bf16-gradient precision class the rest of
+      the backward already uses.
     """
 
     def microbatch_loss(params, mb, global_valid_tokens):
@@ -147,7 +159,7 @@ def make_policy_train_step(
         # duplicated at module level and could drift)
         return microbatch_loss_with_moe(
             params, cfg, loss_cfg, mb, global_valid_tokens,
-            attn_impl=attn_impl, remat=remat,
+            attn_impl=attn_impl, remat=remat, unroll_layers=unroll_layers,
         )
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
@@ -180,14 +192,18 @@ def make_policy_train_step(
             mbs = jax.tree_util.tree_map(reshape, batch)
             grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
 
+            acc_dt = grad_acc_dtype or jnp.float32
+
             def scan_body(carry, mb):
                 acc_grads, acc_loss = carry
                 (loss, metrics), grads = grad_fn(state.params, mb, global_valid)
-                acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+                acc_grads = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(acc_dt), acc_grads, grads
+                )
                 return (acc_grads, acc_loss + loss), metrics
 
             zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                lambda p: jnp.zeros(p.shape, acc_dt), state.params
             )
             (grads, loss), metrics_stack = jax.lax.scan(
                 scan_body, (zero_grads, jnp.zeros((), jnp.float32)), mbs
@@ -213,7 +229,8 @@ def make_policy_train_step(
 
 
 def microbatch_loss_with_moe(
-    params, cfg, loss_cfg, mb, global_valid_tokens, *, attn_impl, remat
+    params, cfg, loss_cfg, mb, global_valid_tokens, *, attn_impl, remat,
+    unroll_layers=False,
 ):
     """Shared microbatch loss (PPO-clip + entropy/KL + MoE aux)."""
     moe_aux = jnp.zeros((), jnp.float32)
@@ -222,16 +239,18 @@ def microbatch_loss_with_moe(
             params, cfg, mb["input_ids"],
             attention_mask=mb["attention_mask"],
             attn_impl=attn_impl, remat=remat, return_aux=True,
+            unroll_layers=unroll_layers,
         )
     else:
         hidden, _ = M.forward_hidden(
             params, cfg, mb["input_ids"],
             attention_mask=mb["attention_mask"],
             attn_impl=attn_impl, remat=remat,
+            unroll_layers=unroll_layers,
         )
-    w = M.lm_head_weight(params, cfg)
-    lp, ent = fused_linear_logprobs_and_entropy(
-        hidden, w, mb["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+    lp, ent = linear_logprobs_and_entropy(
+        params, cfg, hidden, mb["target_ids"],
+        chunk_size=loss_cfg.logprob_chunk_size,
     )
     loss, metrics = _token_level_loss(lp, ent, mb, loss_cfg, global_valid_tokens)
     if cfg.is_moe:
@@ -316,9 +335,8 @@ def make_logprob_fn(
             params, cfg, batch["input_ids"],
             attention_mask=batch["attention_mask"], attn_impl=attn_impl,
         )
-        w = M.lm_head_weight(params, cfg)
-        lp, ent = fused_linear_logprobs_and_entropy(
-            hidden, w, batch["target_ids"], chunk_size=chunk_size,
+        lp, ent = linear_logprobs_and_entropy(
+            params, cfg, hidden, batch["target_ids"], chunk_size=chunk_size,
             temperature=temperature,
         )
         return lp, ent
@@ -348,9 +366,9 @@ def make_actor_critic_train_step(
             attention_mask=batch["attention_mask"],
             attn_impl=attn_impl, remat=remat,
         )
-        w = M.lm_head_weight(params, cfg)
-        lp, ent = fused_linear_logprobs_and_entropy(
-            hidden, w, batch["target_ids"], chunk_size=loss_cfg.logprob_chunk_size
+        lp, ent = linear_logprobs_and_entropy(
+            params, cfg, hidden, batch["target_ids"],
+            chunk_size=loss_cfg.logprob_chunk_size,
         )
         values = jnp.einsum(
             "bsd,do->bso", hidden, params["value_head"],

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from rlinf_tpu.models.llm import model as M
 from rlinf_tpu.models.llm.config import LLMConfig
-from rlinf_tpu.ops.logprobs import fused_linear_logprobs_and_entropy
+from rlinf_tpu.ops.logprobs import linear_logprobs_and_entropy
 from rlinf_tpu.training.train_state import TrainState
 from rlinf_tpu.training.learner import optax_global_norm
 
@@ -39,9 +39,9 @@ def make_sft_train_step(
             attention_mask=mb["attention_mask"], attn_impl=attn_impl,
             remat=remat,
         )
-        w = M.lm_head_weight(params, cfg)
-        lp, _ = fused_linear_logprobs_and_entropy(
-            hidden, w, mb["target_ids"], chunk_size=logprob_chunk_size
+        lp, _ = linear_logprobs_and_entropy(
+            params, cfg, hidden, mb["target_ids"],
+            chunk_size=logprob_chunk_size,
         )
         mask = mb["loss_mask"].astype(jnp.float32)
         nll_sum = -jnp.sum(lp * mask)

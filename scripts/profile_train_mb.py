@@ -1,5 +1,6 @@
 """One train-step variant per fresh process (HBM state pollution made the
-in-process sweep OOM). Usage: profile_train_mb.py <n_mb> <remat> <model>"""
+in-process sweep OOM).
+Usage: profile_train_mb.py <n_mb> <remat> <model> [unroll] [acc_dtype]"""
 
 import json
 import sys
@@ -12,6 +13,8 @@ def main():
     n_mb = int(sys.argv[1])
     remat = {"True": True, "False": False, "dots": "dots"}[sys.argv[2]]
     preset = sys.argv[3] if len(sys.argv) > 3 else "qwen2_0_5b"
+    unroll = len(sys.argv) > 4 and sys.argv[4] == "unroll"
+    acc_dtype = sys.argv[5] if len(sys.argv) > 5 else None
 
     import jax
     import jax.numpy as jnp
@@ -43,7 +46,8 @@ def main():
         lr=1e-6, name="adafactor" if big else "adamw"))
     ts = make_policy_train_step(
         cfg, PolicyLossConfig(logprob_chunk_size=256), tx,
-        num_microbatches=n_mb, remat=remat)
+        num_microbatches=n_mb, remat=remat, unroll_layers=unroll,
+        grad_acc_dtype=jnp.bfloat16 if acc_dtype == "bf16" else None)
     st = create_train_state(
         lambda rr: init_params(cfg, rr), tx, jax.random.PRNGKey(0))
     st, m = ts(st, batch)
@@ -58,7 +62,8 @@ def main():
     t = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "phase": "train_step_mb", "model": preset, "n_mb": n_mb,
-        "remat": str(remat), "time_s": round(t, 4),
+        "remat": str(remat), "unroll": unroll, "acc": acc_dtype or "f32",
+        "time_s": round(t, 4),
         "mfu": round(sol / t, 4), "loss_finite": bool(np.isfinite(loss)),
     }), flush=True)
 

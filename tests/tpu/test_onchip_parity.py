@@ -334,8 +334,53 @@ def check_q8_generate() -> dict:
     return {"greedy_agree": agree, "lp_max_err": lp_err}
 
 
+def check_fused_ce() -> dict:
+    """Fused linear-CE Pallas kernel (fwd + custom-vjp bwd) vs the chunked
+    XLA path, jitted on-chip at real vocab size (the 0.5B lm-head geometry,
+    tied-embedding [V, D] layout — the bench train step's configuration)."""
+    from rlinf_tpu.ops.logprobs import fused_linear_logprobs_and_entropy
+    from rlinf_tpu.ops.pallas.linear_ce import fused_linear_ce
+
+    B, S, D, V = 4, 256, 896, 151936
+    r = np.random.default_rng(3)
+    h = jnp.asarray(r.normal(size=(B, S, D)) * 0.5, jnp.bfloat16)
+    emb = jnp.asarray(r.normal(size=(V, D)) * 0.02, jnp.bfloat16)
+    tgt = jnp.asarray(r.integers(0, V, (B, S)), jnp.int32)
+    adv = jnp.asarray(r.normal(size=(B, S)), jnp.float32)
+
+    def loss_pallas(h, emb):
+        lp, ent = fused_linear_ce(h, emb, tgt, w_layout="vd")
+        return jnp.mean(lp * adv) + 0.01 * jnp.mean(ent), (lp, ent)
+
+    def loss_xla(h, emb):
+        lp, ent = fused_linear_logprobs_and_entropy(h, emb.T, tgt)
+        return jnp.mean(lp * adv) + 0.01 * jnp.mean(ent), (lp, ent)
+
+    gp = jax.jit(jax.value_and_grad(loss_pallas, argnums=(0, 1), has_aux=True))
+    gx = jax.jit(jax.value_and_grad(loss_xla, argnums=(0, 1), has_aux=True))
+    (lv_p, (lp_p, ent_p)), (dh_p, dw_p) = jax.device_get(gp(h, emb))
+    (lv_x, (lp_x, ent_x)), (dh_x, dw_x) = jax.device_get(gx(h, emb))
+
+    lp_err = float(np.abs(np.asarray(lp_p) - np.asarray(lp_x)).max())
+    ent_err = float(np.abs(np.asarray(ent_p) - np.asarray(ent_x)).max())
+    dh_p32, dh_x32 = np.asarray(dh_p, np.float32), np.asarray(dh_x, np.float32)
+    dw_p32, dw_x32 = np.asarray(dw_p, np.float32), np.asarray(dw_x, np.float32)
+    dh_rel = float(
+        np.linalg.norm(dh_p32 - dh_x32) / max(np.linalg.norm(dh_x32), 1e-9))
+    dw_rel = float(
+        np.linalg.norm(dw_p32 - dw_x32) / max(np.linalg.norm(dw_x32), 1e-9))
+    assert lp_err < 5e-3 and ent_err < 5e-3, (
+        f"fused CE forward parity FAILED: lp_err {lp_err:.5f} "
+        f"ent_err {ent_err:.5f}")
+    assert dh_rel < 0.05 and dw_rel < 0.05, (
+        f"fused CE grad parity FAILED: dh_rel {dh_rel:.4f} dw_rel {dw_rel:.4f}")
+    return {"lp_err": lp_err, "ent_err": ent_err, "dh_rel": dh_rel,
+            "dw_rel": dw_rel}
+
+
 CHECKS = [
     ("decode_kernel", check_decode_kernel),
+    ("fused_ce", check_fused_ce),
     ("q8_decode_kernel", check_q8_decode_kernel),
     ("q8_generate", check_q8_generate),
     ("decode_in_model", check_decode_in_model),
