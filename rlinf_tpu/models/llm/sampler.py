@@ -104,6 +104,42 @@ def sample_from_logits(
     return tok, lp
 
 
+def _fused_sampler_ok(dparams: M.Params, sp: SamplingParams) -> bool:
+    """Fused lm-head+sampling kernel eligibility: int8 lm_head on TPU with
+    plain temperature sampling (the serving configuration)."""
+    from rlinf_tpu.models.llm.quant import QTensor
+
+    return (
+        jax.default_backend() == "tpu"
+        and isinstance(dparams.get("lm_head"), QTensor)
+        and sp.top_k == 0
+        and sp.top_p >= 1.0
+    )
+
+
+def _sample_hidden(
+    dparams: M.Params,
+    cfg: LLMConfig,
+    rng: jax.Array,
+    hidden: jax.Array,      # [B, D]
+    sp: SamplingParams,
+    use_fused: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """hidden -> (token, behavior logprob), via the fused Pallas lm-head
+    sampler (ops/pallas/sampler_kernel.py) or the XLA logits path."""
+    if use_fused:
+        from rlinf_tpu.ops.pallas.sampler_kernel import fused_lmhead_sample
+
+        lm = dparams["lm_head"]
+        seed = jax.random.bits(rng, (), "uint32").astype(jnp.int32)
+        return fused_lmhead_sample(
+            hidden.astype(cfg.compute_dtype), lm.q, lm.scale, seed,
+            temperature=sp.temperature, greedy=sp.greedy,
+        )
+    logits = M.lm_head_logits(dparams, cfg, hidden)
+    return sample_from_logits(rng, logits, sp)
+
+
 def generate(
     params: M.Params,
     cfg: LLMConfig,
@@ -116,6 +152,8 @@ def generate(
     decode_params: Optional[M.Params] = None,
     decode_attn_impl: Optional[str] = None,
     kv_quant: str = "none",
+    sampler_impl: Optional[str] = None,
+    mega=None,
 ) -> GenerateOutput:
     """Batched generation. Jit-safe: shapes depend only on P and
     sp.max_new_tokens (callers bucket prompts; reference analog is SGLang's
@@ -124,6 +162,9 @@ def generate(
     decode_params: optional separate (e.g. int8-quantized) params for the
     decode loop; prefill always runs on ``params``. See models/llm/quant.py
     for the RL-correctness argument.
+    mega: optional (MegaPlan, MegaWeights) from
+    ops/pallas/decode_megakernel.pack_decode_weights — runs the whole
+    decode step as ONE pallas call (requires kv_quant="int8").
     """
     B, P = prompt_ids.shape
     N = sp.max_new_tokens
@@ -149,9 +190,29 @@ def generate(
     # [P - plen, P + t + 1) — exactly what the packed attention kernel takes.
     starts = P - prompt_lens
 
-    logits0 = M.lm_head_logits(dparams, cfg, last_hidden)
+    use_fused = (
+        _fused_sampler_ok(dparams, sp) if sampler_impl is None
+        else sampler_impl == "fused"
+    )
     rng, sub = jax.random.split(rng)
-    tok0, lp0 = sample_from_logits(sub, logits0, sp)
+    tok0, lp0 = _sample_hidden(dparams, cfg, sub, last_hidden, sp, use_fused)
+
+    use_mega = mega is not None and kv_quant == "int8"
+    if use_mega:
+        # stack the per-layer q8 tuples into [L, ...] arrays for the
+        # single-call megakernel (ops/pallas/decode_megakernel.py)
+        from rlinf_tpu.ops.norm import rms_norm
+        from rlinf_tpu.ops.pallas.decode_megakernel import decode_step_mega
+        from rlinf_tpu.ops.rope import rope_frequencies
+
+        plan, mweights = mega
+        kv_layers = tuple(
+            jnp.stack([layer[i] for layer in kv_layers])
+            for i in range(4)
+        )  # (kc, vc, ks, vs) each [L, B, S, ...]
+        cos_tab, sin_tab = rope_frequencies(
+            cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta
+        )
 
     decode_step = (
         M.decode_step_packed_q8 if kv_quant == "int8"
@@ -162,14 +223,23 @@ def generate(
         rng, prev_tok, kv_layers, done = carry
         slot = P + t  # cache slot for prev_tok's kv (t starts at 0)
         pos = prompt_lens + t  # rope position of prev_tok
-        hidden, kv_layers = decode_step(
-            dparams, cfg, prev_tok, kv_layers, slot, pos,
-            starts, jnp.full((B,), slot + 1, jnp.int32),
-            attn_impl=decode_attn_impl,
-        )
-        logits = M.lm_head_logits(dparams, cfg, hidden)
+        if use_mega:
+            kc, vc, ks, vs = kv_layers
+            x0 = dparams["embed"][prev_tok].astype(cfg.compute_dtype)
+            hidden, kc, vc, ks, vs = decode_step_mega(
+                plan, mweights, x0, kc, vc, ks, vs, slot, pos, starts,
+                cos_tab, sin_tab,
+            )
+            hidden = rms_norm(hidden, dparams["final_norm"], cfg.rms_eps)
+            kv_layers = (kc, vc, ks, vs)
+        else:
+            hidden, kv_layers = decode_step(
+                dparams, cfg, prev_tok, kv_layers, slot, pos,
+                starts, jnp.full((B,), slot + 1, jnp.int32),
+                attn_impl=decode_attn_impl,
+            )
         rng, sub = jax.random.split(rng)
-        tok, lp = sample_from_logits(sub, logits, sp)
+        tok, lp = _sample_hidden(dparams, cfg, sub, hidden, sp, use_fused)
 
         done = done | (prev_tok == sp.eos_token_id)
         tok = jnp.where(done, sp.pad_token_id, tok)

@@ -378,9 +378,52 @@ def check_fused_ce() -> dict:
             "dw_rel": dw_rel}
 
 
+def check_fused_sampler() -> dict:
+    """Fused lm-head sampling kernel at real vocab: greedy tokens must match
+    the XLA argmax oracle; sampled-mode logprobs must equal the temperature
+    softmax logprob of whatever token the kernel drew."""
+    from rlinf_tpu.models.llm.quant import quantize_tensor
+    from rlinf_tpu.ops.pallas.sampler_kernel import fused_lmhead_sample
+
+    B, D, V = 64, 896, 151936
+    r = np.random.default_rng(11)
+    h = jnp.asarray(r.normal(size=(B, D)) * 0.4, jnp.bfloat16)
+    w = jnp.asarray(r.normal(size=(D, V)) * 0.02, jnp.float32)
+    q = quantize_tensor(w)
+
+    logits = np.asarray(jax.device_get(jax.jit(
+        lambda h, qq, qs: (h.astype(jnp.float32) @ qq.astype(jnp.float32))
+        * qs.reshape(1, -1)
+    )(h, q.q, q.scale)), np.float32)
+
+    tok_g, lp_g = jax.device_get(jax.jit(functools.partial(
+        fused_lmhead_sample, greedy=True))(h, q.q, q.scale, jnp.int32(3)))
+    tok_ref = logits.argmax(-1)
+    agree = float((np.asarray(tok_g) == tok_ref).mean())
+    lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) \
+        + logits.max(-1)
+    lp_ref = logits[np.arange(B), tok_ref] - lse
+    g_err = float(np.abs(np.asarray(lp_g) - lp_ref).max())
+
+    T = 0.9
+    tok_s, lp_s = jax.device_get(jax.jit(functools.partial(
+        fused_lmhead_sample, temperature=T))(h, q.q, q.scale, jnp.int32(77)))
+    scaled = logits / T
+    lse_s = np.log(np.exp(scaled - scaled.max(-1, keepdims=True)).sum(-1)) \
+        + scaled.max(-1)
+    lp_s_ref = scaled[np.arange(B), np.asarray(tok_s)] - lse_s
+    s_err = float(np.abs(np.asarray(lp_s) - lp_s_ref).max())
+
+    assert agree > 0.98, f"fused sampler greedy disagree: {agree}"
+    assert g_err < 5e-3 and s_err < 5e-3, (
+        f"fused sampler logprob err: greedy {g_err:.5f} sampled {s_err:.5f}")
+    return {"greedy_agree": agree, "lp_err": max(g_err, s_err)}
+
+
 CHECKS = [
     ("decode_kernel", check_decode_kernel),
     ("fused_ce", check_fused_ce),
+    ("fused_sampler", check_fused_sampler),
     ("q8_decode_kernel", check_q8_decode_kernel),
     ("q8_generate", check_q8_generate),
     ("decode_in_model", check_decode_in_model),
