@@ -75,7 +75,11 @@ class LLMConfig:
         attn = d * self.q_dim + 2 * d * self.kv_dim + self.q_dim * d
         if self.qkv_bias:
             attn += self.q_dim + 2 * self.kv_dim
-        mlp = 3 * d * f
+        if self.is_moe:
+            # router + E expert SwiGLU stacks (reference qwen3-moe layout)
+            mlp = d * self.num_experts + self.num_experts * 3 * d * f
+        else:
+            mlp = 3 * d * f
         norms = 2 * d
         per_layer = attn + mlp + norms
         emb = v * d if self.tie_word_embeddings else 2 * v * d
@@ -135,6 +139,22 @@ class LLMConfig:
             rope_theta=1e6, tie_word_embeddings=False,
             qkv_bias=False, qk_norm=True,
             num_experts=128, num_experts_per_token=8,
+        )
+
+    @staticmethod
+    def qwen3_moe_2b() -> "LLMConfig":
+        """Single-v5e MoE geometry for on-chip proof runs: same family shape
+        as the reference's MoE CI model (qwen3-moe ~2.5B, top-2 routing —
+        reference tests/e2e_tests/reasoning/qwen3-moe-2.5b-collocated-mg-sgl-ep-test.yaml:200
+        ``moe_router_topk: 2``), scaled so bf16 params + optimizer + a train
+        step fit one 16 GB chip: 32 experts x ffn 768, ~2.2B total / ~0.4B
+        active per token."""
+        return LLMConfig(
+            vocab_size=151936, hidden_size=1024, intermediate_size=768,
+            num_layers=24, num_heads=16, num_kv_heads=4, head_dim=64,
+            rope_theta=1e6, tie_word_embeddings=True,
+            qkv_bias=False, qk_norm=True,
+            num_experts=32, num_experts_per_token=2,
         )
 
     @staticmethod

@@ -169,6 +169,12 @@ def generate(
     B, P = prompt_ids.shape
     N = sp.max_new_tokens
     S_max = P + N
+    use_mega = mega is not None and kv_quant == "int8"
+    if use_mega:
+        # mega kernel constraint: cache length is a lane dim of its scale
+        # stream buffers -> pad to a multiple of 128 (dead tail slots are
+        # never read: the kernel masks on [starts, wp))
+        S_max = -(-S_max // 128) * 128
     dparams = decode_params if decode_params is not None else params
 
     prompt_lens = jnp.sum(prompt_mask.astype(jnp.int32), axis=-1)  # [B]
@@ -197,7 +203,6 @@ def generate(
     rng, sub = jax.random.split(rng)
     tok0, lp0 = _sample_hidden(dparams, cfg, sub, last_hidden, sp, use_fused)
 
-    use_mega = mega is not None and kv_quant == "int8"
     if use_mega:
         # stack the per-layer q8 tuples into [L, ...] arrays for the
         # single-call megakernel (ops/pallas/decode_megakernel.py)

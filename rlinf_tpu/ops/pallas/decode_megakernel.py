@@ -15,12 +15,14 @@ This kernel runs ALL layers of one decode step in a single ``pallas_call``:
     phase→chunk table.  Mosaic double-buffers the window across grid steps,
     so the whole step becomes a single continuous weight stream at HBM
     rate, with the MXU working under it.
-  * The int8 KV cache lives in HBM (``memory_space=ANY``), aliased
-    input↔output.  The attention phase quantizes the current token's k/v,
-    writes them with an async DMA, and streams past-token blocks through a
-    manually double-buffered VMEM window (row-group × kv-block tiles).
-    Reads exclude the current slot (its contribution is added exactly, in
-    f32, from registers), so the write DMA races nothing.
+  * The int8 KV cache lives in HBM (``memory_space=ANY``), read-only. The
+    attention phase quantizes the current token's k/v and emits them as
+    per-layer outputs; the host wrapper inserts them with one fused
+    in-place ``dynamic_update_slice`` after the kernel. Past-token blocks
+    stream through a manually double-buffered VMEM window (row-group ×
+    kv-block tiles). Reads exclude the current slot (its contribution is
+    added exactly, in f32, from registers), so deferring the cache write
+    races nothing.
   * RoPE is applied in-kernel on the packed [B, H*Hd] layout: rotate_half
     is two ``pltpu.roll``s (±Hd/2 lanes) select-combined per half-band —
     no head-split relayout.
@@ -144,9 +146,9 @@ def make_plan(cfg: LLMConfig, chunk_width: int = 2048) -> MegaPlan:
 
 class MegaWeights(NamedTuple):
     stream: jax.Array    # [L*NCHK, D, CW] int8
-    scales: jax.Array    # [L*NCHK, CW] f32
+    scales: jax.Array    # [L*NCHK, 1, CW] f32
     norms: jax.Array     # [L, 2, D] f32 (attn_norm, mlp_norm)
-    bias: jax.Array      # [L, n_qkv*CW] f32 (qkv bias, zero-padded)
+    bias: jax.Array      # [L, 1, n_qkv*CW] f32 (qkv bias, zero-padded)
     tbl: jax.Array       # [NPH] int32 chunk table
 
 
@@ -195,7 +197,7 @@ def pack_decode_weights(qparams: dict, cfg: LLMConfig,
     ).reshape(L * plan.nchk, D, CW)
     scales = jnp.concatenate(
         [qkv_s, wo_s, gate_s, up_s, down_s], axis=1
-    ).reshape(L * plan.nchk, CW).astype(jnp.float32)
+    ).reshape(L * plan.nchk, 1, CW).astype(jnp.float32)
 
     norms = jnp.stack(
         [b["attn_norm"].astype(jnp.float32), b["mlp_norm"].astype(jnp.float32)],
@@ -206,8 +208,9 @@ def pack_decode_weights(qparams: dict, cfg: LLMConfig,
         bias = jnp.concatenate(
             [b["bq"], b["bk"], b["bv"]], axis=-1).astype(jnp.float32)
         bias = jnp.pad(bias, ((0, 0), (0, bw - bias.shape[-1])))
+        bias = bias[:, None, :]
     else:
-        bias = jnp.zeros((L, bw), jnp.float32)
+        bias = jnp.zeros((L, 1, bw), jnp.float32)
     tbl = jnp.asarray(plan.chunk_table(), jnp.int32)
     return plan, MegaWeights(stream, scales, norms, bias, tbl)
 
@@ -238,17 +241,18 @@ def _mega_kernel(
     starts_ref,    # [B] i32
     # tensor inputs
     ws_ref,        # [1, D, CW] int8 (streamed chunk)
-    wsc_ref,       # [1, CW] f32
+    wsc_ref,       # [1, 1, CW] f32
     norms_ref,     # [1, 2, D] f32
-    bias_ref,      # [1, BW] f32
+    bias_ref,      # [1, 1, BW] f32
     x0_ref,        # [B, D] bf16
     cosq_ref, sinq_ref,    # [B, QD] f32
     cosk_ref, sink_ref,    # [B, KVD] f32
-    kc_ref, vc_ref,        # [L, B, S, KVD] int8 (ANY, aliased)
-    ks_ref, vs_ref,        # [L, B, S] f32 (ANY, aliased)
+    kc_ref, vc_ref,        # [L, B, S, KVD] int8 (ANY, read-only)
+    ks_ref, vs_ref,        # [L, B, S] f32 (ANY, read-only)
     # outputs
     out_ref,               # [B, D] bf16
-    kc_out, vc_out, ks_out, vs_out,
+    knew_ref, vnew_ref,    # [1, B, KVD] int8 (layer block l)
+    ksnew_ref, vsnew_ref,  # [1, 1, B] f32
     # scratch
     x_sc,          # [B, D] f32
     hn_sc,         # [B, D] bf16
@@ -258,12 +262,9 @@ def _mega_kernel(
     acc_sc,        # [B, Hp, KVD] f32
     att_sc,        # [B, D] bf16
     gs_sc,         # [B, n_f*CW] bf16
-    kq_sc, vq_sc,  # [B, 1, KVD] int8
-    ksq_sc, vsq_sc,  # [B, 1] f32
     kbuf, vbuf,    # [2, RG, BLK, KVD] int8
     ksbuf, vsbuf,  # [2, RG, BLK] f32
     rsem,          # DMA sems (2, 4)
-    wsem,          # DMA sems (4,)
     *,
     plan: MegaPlan,
     B: int,
@@ -293,7 +294,7 @@ def _mega_kernel(
             out = jax.lax.dot_general(
                 hn_sc[:], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * wsc_ref[0][None, :]
+            ) * wsc_ref[0, 0][None, :]
             qkv_sc[:, s * P.CW:(s + 1) * P.CW] = out
 
     # ---------------- attention ----------------
@@ -303,34 +304,28 @@ def _mega_kernel(
         nj = meta_ref[1]
         lo = meta_ref[2]
 
-        qkvb = qkv_sc[:, :P.w_qkv] + bias_ref[0, :P.w_qkv][None, :]
+        qkvb = qkv_sc[:, :P.w_qkv] + bias_ref[0, 0, :P.w_qkv][None, :]
         q = qkvb[:, :P.QD]
         k = qkvb[:, P.QD:P.QD + P.KVD]
         v = qkvb[:, P.QD + P.KVD:P.w_qkv]
         q = q * cosq_ref[:] + _rot_half_packed(q, P.Hd) * sinq_ref[:]
         k = k * cosk_ref[:] + _rot_half_packed(k, P.Hd) * sink_ref[:]
 
-        # quantize + write current token's kv (reads below exclude slot wp)
+        # Quantize the current token's k/v and emit them as per-layer
+        # OUTPUTS ([L, B, KVD] blocks); the caller inserts them into the
+        # HBM cache with one fused in-place dynamic_update_slice AFTER the
+        # kernel. (A single-slot write DMA into the cache from inside the
+        # kernel hits Mosaic's 8-row tiling rule whenever the cache is
+        # small enough to be VMEM-placed — and the reads below exclude
+        # slot wp anyway, so deferring the write races nothing.)
         ksv = jnp.maximum(jnp.max(jnp.abs(k), 1, keepdims=True) / 127.0, 1e-8)
         vsv = jnp.maximum(jnp.max(jnp.abs(v), 1, keepdims=True) / 127.0, 1e-8)
-        kq_sc[:, 0, :] = jnp.clip(
+        knew_ref[0] = jnp.clip(
             jnp.round(k / ksv), -127, 127).astype(jnp.int8)
-        vq_sc[:, 0, :] = jnp.clip(
+        vnew_ref[0] = jnp.clip(
             jnp.round(v / vsv), -127, 127).astype(jnp.int8)
-        ksq_sc[:] = ksv
-        vsq_sc[:] = vsv
-        cp_k = pltpu.make_async_copy(
-            kq_sc, kc_out.at[l, :, pl.ds(wp, 1), :], wsem.at[0])
-        cp_v = pltpu.make_async_copy(
-            vq_sc, vc_out.at[l, :, pl.ds(wp, 1), :], wsem.at[1])
-        cp_ks = pltpu.make_async_copy(
-            ksq_sc, ks_out.at[l, :, pl.ds(wp, 1)], wsem.at[2])
-        cp_vs = pltpu.make_async_copy(
-            vsq_sc, vs_out.at[l, :, pl.ds(wp, 1)], wsem.at[3])
-        cp_k.start()
-        cp_v.start()
-        cp_ks.start()
-        cp_vs.start()
+        ksnew_ref[0, 0, :] = ksv[:, 0]
+        vsnew_ref[0, 0, :] = vsv[:, 0]
 
         # pack q into per-kv-head lane bands (zero elsewhere): one dot per
         # row then yields every head's scores against the packed kv block.
@@ -419,11 +414,6 @@ def _mega_kernel(
 
         jax.lax.fori_loop(0, n_it, body, 0)
 
-        cp_k.wait()
-        cp_v.wait()
-        cp_ks.wait()
-        cp_vs.wait()
-
         out = acc_sc[:] / jnp.maximum(l_sc[:, :, :1], 1e-30)
         for h in range(P.H):
             kvh = h // G
@@ -438,7 +428,7 @@ def _mega_kernel(
             out = jax.lax.dot_general(
                 att_sc[:], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * wsc_ref[0][None, :]
+            ) * wsc_ref[0, 0][None, :]
             vcols = min(P.CW, P.D - s * P.CW)
             x_sc[:, s * P.CW:s * P.CW + vcols] = (
                 x_sc[:, s * P.CW:s * P.CW + vcols] + out[:, :vcols])
@@ -455,7 +445,7 @@ def _mega_kernel(
             g = jax.lax.dot_general(
                 hn_sc[:], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * wsc_ref[0][None, :]
+            ) * wsc_ref[0, 0][None, :]
             gs_sc[:, s * P.CW:(s + 1) * P.CW] = g.astype(jnp.bfloat16)
 
     # ---------------- MLP: up (+ silu fuse) ----------------
@@ -466,7 +456,7 @@ def _mega_kernel(
             u = jax.lax.dot_general(
                 hn_sc[:], w, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * wsc_ref[0][None, :]
+            ) * wsc_ref[0, 0][None, :]
             g = gs_sc[:, s * P.CW:(s + 1) * P.CW].astype(jnp.float32)
             gu = g * jax.nn.sigmoid(g) * u
             gs_sc[:, s * P.CW:(s + 1) * P.CW] = gu.astype(jnp.bfloat16)
@@ -481,7 +471,7 @@ def _mega_kernel(
                 gu, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # [B, D]
-            x_sc[:] = x_sc[:] + out * wsc_ref[0][None, :P.D]
+            x_sc[:] = x_sc[:] + out * wsc_ref[0, 0][None, :P.D]
 
     @pl.when((l == P.L - 1) & (p == P.nph - 1))
     def _emit():
@@ -508,16 +498,22 @@ def decode_step_mega(
 ):
     """One whole decode step. Returns (hidden [B, D] bf16, kc, vc, ks, vs).
 
-    The returned caches are the aliased inputs with slot ``write_pos``
+    The returned caches are the inputs with slot ``write_pos``
     filled; the final rms_norm and lm-head run outside (see sampler)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     P = plan
     B = x0.shape[0]
     S = kc.shape[2]
-    BLK = min(kv_block, S)
+    # The kv-scale stream buffers ([2, RG, BLK] f32) make BLK a lane
+    # dimension: Mosaic requires it be a multiple of 128 (generate() pads
+    # S_max up for the mega path).
+    assert S % 128 == 0, f"megakernel needs S_max % 128 == 0, got {S}"
+    assert B % 8 == 0, f"megakernel needs batch % 8 == 0, got {B}"
+    BLK = min(max(kv_block, 128), S)
     while S % BLK:
         BLK //= 2
+    assert BLK % 128 == 0, (S, BLK)
     RG = row_group
     while B % RG:
         RG //= 2
@@ -543,10 +539,10 @@ def decode_step_mega(
                 (1, P.D, P.CW),
                 lambda l, p, tbl, meta, st: (l * P.nchk + tbl[p], 0, 0)),
             pl.BlockSpec(
-                (1, P.CW),
-                lambda l, p, tbl, meta, st: (l * P.nchk + tbl[p], 0)),
+                (1, 1, P.CW),
+                lambda l, p, tbl, meta, st: (l * P.nchk + tbl[p], 0, 0)),
             pl.BlockSpec((1, 2, P.D), lambda l, p, *_: (l, 0, 0)),
-            pl.BlockSpec((1, P.n_qkv * P.CW), lambda l, p, *_: (l, 0)),
+            pl.BlockSpec((1, 1, P.n_qkv * P.CW), lambda l, p, *_: (l, 0, 0)),
             pl.BlockSpec((B, P.D), lambda l, p, *_: (0, 0)),
             pl.BlockSpec((B, P.QD), lambda l, p, *_: (0, 0)),
             pl.BlockSpec((B, P.QD), lambda l, p, *_: (0, 0)),
@@ -559,10 +555,10 @@ def decode_step_mega(
         ],
         out_specs=[
             pl.BlockSpec((B, P.D), lambda l, p, *_: (0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, B, P.KVD), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, B, P.KVD), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda l, p, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 1, B), lambda l, p, *_: (l, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, P.D), jnp.float32),            # x
@@ -574,16 +570,11 @@ def decode_step_mega(
             pltpu.VMEM((B, P.Hp, P.KVD), jnp.float32),    # acc
             pltpu.VMEM((B, P.D), jnp.bfloat16),           # att
             pltpu.VMEM((B, P.n_f * P.CW), jnp.bfloat16),  # gs
-            pltpu.VMEM((B, 1, P.KVD), jnp.int8),          # kq
-            pltpu.VMEM((B, 1, P.KVD), jnp.int8),          # vq
-            pltpu.VMEM((B, 1), jnp.float32),              # ks
-            pltpu.VMEM((B, 1), jnp.float32),              # vs
             pltpu.VMEM((2, RG, BLK, P.KVD), jnp.int8),    # kbuf
             pltpu.VMEM((2, RG, BLK, P.KVD), jnp.int8),    # vbuf
             pltpu.VMEM((2, RG, BLK), jnp.float32),        # ksbuf
             pltpu.VMEM((2, RG, BLK), jnp.float32),        # vsbuf
             pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = functools.partial(
@@ -594,13 +585,11 @@ def decode_step_mega(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, P.D), jnp.bfloat16),
-            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
-            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
-            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+            jax.ShapeDtypeStruct((P.L, B, P.KVD), jnp.int8),
+            jax.ShapeDtypeStruct((P.L, B, P.KVD), jnp.int8),
+            jax.ShapeDtypeStruct((P.L, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((P.L, 1, B), jnp.float32),
         ],
-        # flat operand indices include the 3 scalar-prefetch args
-        input_output_aliases={12: 1, 13: 2, 14: 3, 15: 4},
         interpret=interpret,
     )(
         mw.tbl, meta, starts.astype(jnp.int32),
@@ -608,5 +597,14 @@ def decode_step_mega(
         x0.astype(jnp.bfloat16), cosq, sinq, cosk, sink,
         kc, vc, ks, vs,
     )
-    hidden, kc, vc, ks, vs = out
+    hidden, knew, vnew, ksn, vsn = out
+    # Insert the current token at slot wp (in place: the caches are dead
+    # after this point of the decode-loop carry, so XLA updates the donated
+    # buffers without a copy).
+    kc = jax.lax.dynamic_update_slice(kc, knew[:, :, None, :], (0, 0, wp, 0))
+    vc = jax.lax.dynamic_update_slice(vc, vnew[:, :, None, :], (0, 0, wp, 0))
+    ks = jax.lax.dynamic_update_slice(
+        ks, jnp.swapaxes(ksn, 1, 2), (0, 0, wp))
+    vs = jax.lax.dynamic_update_slice(
+        vs, jnp.swapaxes(vsn, 1, 2), (0, 0, wp))
     return hidden, kc, vc, ks, vs

@@ -46,6 +46,16 @@ def initialize_distributed(
         num_processes=num_processes,
         process_id=process_id,
     )
+    if jax.default_backend() == "cpu":
+        # Cross-process ``jax.device_put`` (the disaggregated weight-sync
+        # transfer) rides native ICI/DCN on TPU pods, but the CPU backend
+        # needs an explicit transfer server. Enables the same
+        # disagg placement drills on virtual-device CI meshes.
+        try:
+            jax.config.update(
+                "jax_cross_host_transfer_socket_address", "127.0.0.1:0")
+        except Exception:  # older jax without the flag: drills skip instead
+            pass
 
 
 def process_info() -> Dict[str, int]:

@@ -68,10 +68,28 @@ class WeightSyncer:
             return leaf.astype(self.dtype)
         return leaf
 
+    def _put(self, leaf, sh):
+        """Cross-mesh transfer of one leaf.
+
+        ``jax.device_put`` rides native ICI/DCN between disjoint device sets
+        on TPU runtimes. Multi-controller CPU (the virtual-device CI drills)
+        rejects transfers between different device sets, so fall back to a
+        host-mediated allgather + reshard — the DCN-bounce path a
+        heterogeneous cluster would use anyway."""
+        try:
+            return jax.device_put(leaf, sh)
+        except ValueError:
+            from jax.experimental import multihost_utils
+
+            host = np.asarray(
+                multihost_utils.process_allgather(leaf, tiled=True))
+            return jax.make_array_from_callback(
+                host.shape, sh, lambda idx: host[idx])
+
     def sync(self, params) -> Any:
         shardings = self._shardings_for(params)
         out = jax.tree_util.tree_map(
-            lambda leaf, sh: jax.device_put(self._convert(leaf), sh),
+            lambda leaf, sh: self._put(self._convert(leaf), sh),
             params,
             shardings,
         )
@@ -97,7 +115,7 @@ class BucketWeightSyncer(WeightSyncer):
         )
         out, pending, pending_bytes = [], [], 0
         for leaf, sh in zip(leaves, sh_leaves):
-            moved = jax.device_put(self._convert(leaf), sh)
+            moved = self._put(self._convert(leaf), sh)
             out.append(moved)
             pending.append(moved)
             pending_bytes += leaf.nbytes
@@ -187,7 +205,7 @@ class PatchWeightSyncer(WeightSyncer):
         if self._snapshot is None:
             # First sync: full transfer + snapshot.
             self._target_params = jax.tree_util.tree_map(
-                lambda leaf, sh: jax.device_put(self._convert(leaf), sh),
+                lambda leaf, sh: self._put(self._convert(leaf), sh),
                 params, shardings,
             )
             # COPY, not alias: callers (runners) donate params to the jitted
@@ -209,25 +227,25 @@ class PatchWeightSyncer(WeightSyncer):
             nonlocal bytes_sent
             if not jnp.issubdtype(new.dtype, jnp.floating) or not self.quantize:
                 bytes_sent += new.nbytes
-                moved = jax.device_put(self._convert(new), sh)
+                moved = self._put(self._convert(new), sh)
                 return moved, jnp.copy(new)  # see snapshot-aliasing note
             delta = new.astype(jnp.float32) - old.astype(jnp.float32)
             if self.compression == "topk":
                 values, idx = self._encode_topk(delta)
                 bytes_sent += values.nbytes + idx.nbytes
                 # "transfer": payload moves to the target mesh, decode there
-                v_t = jax.device_put(values, NamedSharding(self.target_mesh, P()))
-                i_t = jax.device_put(idx, NamedSharding(self.target_mesh, P()))
+                v_t = self._put(values, NamedSharding(self.target_mesh, P()))
+                i_t = self._put(idx, NamedSharding(self.target_mesh, P()))
                 dec_t = self._decode_topk(v_t, i_t, new.shape)
                 dec_s = self._decode_topk(values, idx, new.shape)
             else:
                 q, scales = self._encode_int8(delta)
                 bytes_sent += q.nbytes + scales.nbytes
-                q_t = jax.device_put(q, NamedSharding(self.target_mesh, P()))
-                s_t = jax.device_put(scales, NamedSharding(self.target_mesh, P()))
+                q_t = self._put(q, NamedSharding(self.target_mesh, P()))
+                s_t = self._put(scales, NamedSharding(self.target_mesh, P()))
                 dec_t = self._decode_int8(q_t, s_t, new.shape)
                 dec_s = self._decode_int8(q, scales, new.shape)
-            recon = jax.device_put(
+            recon = self._put(
                 (tgt.astype(jnp.float32) + dec_t).astype(tgt.dtype), sh
             )
             # source-side mirror of the reconstruction (same arithmetic)

@@ -248,3 +248,162 @@ def install_fake_libero(monkeypatch, tmp_path):
     monkeypatch.setitem(sys.modules, "libero", libero_pkg)
     monkeypatch.setitem(sys.modules, "libero.libero", libero_sub)
     monkeypatch.setitem(sys.modules, "libero.libero.envs", envs_mod)
+
+
+# ---------------------------------------------------------------------------
+# IsaacLab (tier 2): torch-tensor manager-based env — policy obs group with
+# table/wrist cams + eef pose, termination (success) at step 3.
+# ---------------------------------------------------------------------------
+
+
+class FakeIsaacLabEnv:
+    def __init__(self, num_envs=4, action_dim=7, success_at=3):
+        self.num_envs = num_envs
+        self.action_dim = action_dim
+        self._success_at = success_at
+        self._t = np.zeros(num_envs, np.int64)
+        self.reset_calls = []
+        self.closed = False
+
+    def _obs(self):
+        import torch
+
+        N = self.num_envs
+        t = torch.as_tensor(self._t, dtype=torch.float32)
+        return {"policy": {
+            "table_cam": torch.zeros(N, 8, 8, 3),
+            "wrist_cam": torch.ones(N, 8, 8, 3),
+            "eef_pos": torch.stack([t, t, t], dim=1) * 0.1,
+            # wxyz identity quaternion
+            "eef_quat": torch.tensor([[1.0, 0, 0, 0]]).repeat(N, 1),
+            "gripper_pos": torch.zeros(N, 2),
+        }}
+
+    def reset(self, seed=None, env_ids=None):
+        if env_ids is None:
+            self._t[:] = 0
+        else:
+            self._t[np.asarray(env_ids)] = 0
+        self.reset_calls.append({"seed": seed, "env_ids": env_ids})
+        return self._obs(), {}
+
+    def step(self, actions):
+        import torch
+
+        self._t += 1
+        term = torch.as_tensor(self._t >= self._success_at)
+        trunc = torch.zeros(self.num_envs, dtype=torch.bool)
+        reward = term.float()  # raw sim reward (unused by the adapter)
+        return self._obs(), reward, term, trunc, {}
+
+    def close(self):
+        self.closed = True
+
+
+# ---------------------------------------------------------------------------
+# RoboTwin (tier 2): seed-addressed vector env with per-env obs dicts
+# (head camera + dual wrist cams + state); success iff the episode seed is
+# in a curated "success" set.
+# ---------------------------------------------------------------------------
+
+
+class FakeRoboTwinVectorEnv:
+    def __init__(self, task_config=None, n_envs=4, env_seeds=None,
+                 success_at=2):
+        self.task_config = task_config or {}
+        self.num_envs = n_envs
+        self.action_dim = 14
+        self._seeds = list(env_seeds or range(n_envs))
+        self._success_at = success_at
+        self._t = np.zeros(n_envs, np.int64)
+        self.reset_calls = []
+        self.closed = False
+
+    def reset(self, env_idx=None, env_seeds=None):
+        self.reset_calls.append({"env_idx": env_idx, "env_seeds": env_seeds})
+        if env_idx is None:
+            self._t[:] = 0
+            if env_seeds is not None:
+                self._seeds = list(env_seeds)
+        else:
+            for j, i in enumerate(env_idx):
+                self._t[i] = 0
+                if env_seeds is not None:
+                    self._seeds[i] = env_seeds[j]
+
+    def get_obs(self):
+        return [{
+            "observation": np.zeros((8, 8, 3), np.uint8),
+            "left_wrist_image": np.ones((8, 8, 3), np.uint8),
+            "right_wrist_image": np.ones((8, 8, 3), np.uint8) * 2,
+            "state": np.full((14,), float(self._t[i]), np.float32),
+        } for i in range(self.num_envs)]
+
+    def step(self, actions):
+        assert actions.ndim == 3, "RoboTwin takes [n, horizon, action_dim]"
+        self._t += actions.shape[1]
+        # success only on even seeds (mimics curated success seeds)
+        term = (self._t >= self._success_at) & (
+            np.asarray(self._seeds) % 2 == 0)
+        trunc = np.zeros(self.num_envs, bool)
+        infos = [{"success": bool(t)} for t in term]
+        return self.get_obs(), term.astype(np.float32), term, trunc, infos
+
+    def close(self):
+        self.closed = True
+
+
+# ---------------------------------------------------------------------------
+# CALVIN (tier 2): 5-subtask language chains; subtask k of state id s
+# completes at step k+1 (so a full chain takes 5 steps).
+# ---------------------------------------------------------------------------
+
+
+class FakeCalvinBenchmark:
+    SUBTASKS = ["open_drawer", "move_slider_left", "lift_red_block",
+                "place_in_drawer", "push_blue_block"]
+
+    def get_task_chain(self, state_id):
+        k = state_id % len(self.SUBTASKS)
+        return self.SUBTASKS[k:] + self.SUBTASKS[:k]
+
+    def get_description(self, subtask):
+        return f"please {subtask.replace('_', ' ')}"
+
+    def check_subtask_success(self, prev_info, info, subtask):
+        return info.get("completed") == subtask
+
+
+class FakeCalvinVectorEnv:
+    def __init__(self, num_envs=4, benchmark=None, chains=None):
+        self.num_envs = num_envs
+        self.action_dim = 7
+        self._t = np.zeros(num_envs, np.int64)
+        self.adapter = None  # set by test to read assigned chains
+        self.closed = False
+
+    def reset(self, env_idx=None, state_ids=None):
+        if env_idx is None:
+            self._t[:] = 0
+        else:
+            self._t[np.asarray(env_idx)] = 0
+
+    def get_obs(self):
+        return [{
+            "rgb_static": np.zeros((8, 8, 3), np.uint8),
+            "rgb_gripper": np.ones((8, 8, 3), np.uint8),
+            "robot_obs": np.full((15,), float(self._t[i]), np.float32),
+        } for i in range(self.num_envs)]
+
+    def step(self, actions):
+        self._t += 1
+        infos = []
+        for i in range(self.num_envs):
+            # the env completes whatever subtask the adapter is announcing
+            seq = self.adapter._task_seq[i]
+            k = min(int(self.adapter._task_idx[i]), 4)
+            infos.append({"completed": seq[k]})
+        return self.get_obs(), infos
+
+    def close(self):
+        self.closed = True

@@ -185,3 +185,205 @@ def test_registry_names():
 
     for name in ("gym", "maniskill", "metaworld", "libero"):
         assert get_env_cls(name) is not None
+
+
+# ---------------------------------------------------------------------------
+# IsaacLab (tier 2, VERDICT r4 item 8)
+# ---------------------------------------------------------------------------
+
+
+def _make_isaaclab(**kw):
+    from fake_sims import FakeIsaacLabEnv
+
+    from rlinf_tpu.envs.adapters import IsaacLabEnv
+
+    fake = FakeIsaacLabEnv(num_envs=4)
+    env = IsaacLabEnv(4, seed=0, env_factory=lambda: fake,
+                      max_episode_steps=10, **kw)
+    return env, fake
+
+
+def test_isaaclab_obs_mapping_and_sparse_reward():
+    env, fake = _make_isaaclab()
+    obs = env.reset()
+    assert obs["main_images"].shape == (4, 8, 8, 3)
+    assert obs["wrist_images"].shape == (4, 8, 8, 3)
+    # states = [eef_pos(3) | axis-angle(3) | gripper(2)]; identity quat ->
+    # zero axis-angle
+    assert obs["states"].shape == (4, 8)
+    np.testing.assert_allclose(obs["states"][:, 3:6], 0.0, atol=1e-6)
+    assert obs["task_descriptions"] == ["stack the cubes"] * 4
+
+    a = np.zeros((4, 7), np.float32)
+    out = env.step(a)
+    np.testing.assert_allclose(out.reward, 0.0)
+    out = env.step(a)
+    out = env.step(a)  # success step
+    np.testing.assert_allclose(out.reward, 1.0)
+    assert out.done.all() and out.terminated.all()
+    # partial reset hit env_ids
+    assert any(c["env_ids"] is not None for c in fake.reset_calls)
+    m = env.metrics()
+    assert m["env/success_once"] == 1.0
+
+
+def test_isaaclab_rel_reward_and_ignore_terminations():
+    env, fake = _make_isaaclab(use_rel_reward=True, ignore_terminations=True,
+                               reward_coef=2.0)
+    env.reset()
+    a = np.zeros((4, 7), np.float32)
+    env.step(a)
+    env.step(a)
+    out = env.step(a)  # success: rel diff = 2.0 - 0.0
+    np.testing.assert_allclose(out.reward, 2.0)
+    assert not out.terminated.any()       # zeroed by ignore_terminations
+    assert out.info["success"].all()      # recorded as success_at_end
+    assert not out.done.any()             # no truncation yet either
+
+
+def test_isaaclab_quat_to_axisangle():
+    from rlinf_tpu.envs.adapters import _quat_wxyz_to_axisangle
+
+    # 90 deg about z: wxyz = [cos45, 0, 0, sin45] -> axis-angle [0,0,pi/2]
+    q = np.array([[np.cos(np.pi / 4), 0.0, 0.0, np.sin(np.pi / 4)]])
+    aa = _quat_wxyz_to_axisangle(q)
+    np.testing.assert_allclose(aa, [[0, 0, np.pi / 2]], atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# RoboTwin (tier 2)
+# ---------------------------------------------------------------------------
+
+
+def _make_robotwin(**kw):
+    from fake_sims import FakeRoboTwinVectorEnv
+
+    from rlinf_tpu.envs.adapters import RoboTwinEnv
+
+    holder = {}
+
+    def factory():
+        holder["env"] = FakeRoboTwinVectorEnv(
+            n_envs=4, env_seeds=[0, 1, 2, 3])
+        return holder["env"]
+
+    env = RoboTwinEnv(4, seed=0, env_factory=factory,
+                      max_episode_steps=10, **kw)
+    return env, holder
+
+
+def test_robotwin_obs_mapping_and_seed_addressed_reset():
+    env, holder = _make_robotwin(success_seeds=list(range(0, 64, 2)))
+    obs = env.reset()
+    fake = holder["env"]
+    assert obs["main_images"].shape == (4, 8, 8, 3)
+    assert obs["wrist_images"].shape == (4, 2, 8, 8, 3)  # left+right stacked
+    assert obs["states"].shape == (4, 14)
+    # reset was seed-addressed from the curated pool (all even)
+    seeds = fake.reset_calls[-1]["env_seeds"]
+    assert seeds is not None and all(s % 2 == 0 for s in seeds)
+
+    a = np.zeros((4, 14), np.float32)
+    env.step(a)
+    out = env.step(a)  # success at t=2 for even seeds
+    np.testing.assert_allclose(out.reward, 1.0)
+    assert out.done.all()
+    # auto-reset re-seeded the done rows
+    assert fake.reset_calls[-1]["env_idx"] is not None
+    m = env.metrics()
+    assert m["env/success_once"] == 1.0
+
+
+def test_robotwin_partition_success_seeds():
+    from rlinf_tpu.envs.adapters import partition_success_seeds
+
+    seeds = np.arange(100)
+    a = partition_success_seeds(seeds, base_seed=7, seed_offset=0,
+                                total_num_processes=4, num_group=4)
+    b = partition_success_seeds(seeds, base_seed=7, seed_offset=1,
+                                total_num_processes=4, num_group=4)
+    assert len(a) == 24 and len(b) == 24  # 25 per worker, trimmed to 24
+    assert not set(a.tolist()) & set(b.tolist())  # non-overlapping
+    # deterministic under the same base seed
+    a2 = partition_success_seeds(seeds, base_seed=7, seed_offset=0,
+                                 total_num_processes=4, num_group=4)
+    np.testing.assert_array_equal(a, a2)
+
+
+def test_robotwin_horizon_actions():
+    from fake_sims import FakeRoboTwinVectorEnv
+
+    from rlinf_tpu.envs.adapters import RoboTwinEnv
+
+    fake = FakeRoboTwinVectorEnv(n_envs=4, success_at=100)  # never succeeds
+    env = RoboTwinEnv(4, seed=0, env_factory=lambda: fake,
+                      max_episode_steps=10)
+    env.reset()
+    # action chunks [N, horizon, A] advance elapsed_steps by horizon
+    a = np.zeros((4, 3, 14), np.float32)
+    env.step(a)
+    np.testing.assert_array_equal(env._elapsed, 3)
+
+
+# ---------------------------------------------------------------------------
+# CALVIN (tier 2)
+# ---------------------------------------------------------------------------
+
+
+def _make_calvin(**kw):
+    from fake_sims import FakeCalvinBenchmark, FakeCalvinVectorEnv
+
+    from rlinf_tpu.envs.adapters import CalvinEnv
+
+    fake = FakeCalvinVectorEnv(num_envs=4)
+    env = CalvinEnv(4, seed=0, env_factory=lambda: fake,
+                    benchmark=FakeCalvinBenchmark(),
+                    max_episode_steps=20, **kw)
+    fake.adapter = env
+    return env, fake
+
+
+def test_calvin_chain_progression_and_rewards():
+    env, fake = _make_calvin()
+    obs = env.reset()
+    assert obs["main_images"].shape == (4, 8, 8, 3)
+    assert obs["states"].shape == (4, 15)
+    # announced description matches subtask 0 of each chain
+    for i in range(4):
+        want = f"please {env._task_seq[i][0].replace('_', ' ')}"
+        assert obs["task_descriptions"][i] == want
+
+    a = np.zeros((4, 7), np.float32)
+    # each step completes the current subtask -> reward 1, idx advances,
+    # description switches to the NEXT subtask
+    for step in range(4):
+        out = env.step(a)
+        np.testing.assert_allclose(out.reward, 1.0)
+        assert not out.done.any()
+        for i in range(4):
+            want = f"please {env._task_seq[i][step + 1].replace('_', ' ')}"
+            assert out.obs["task_descriptions"][i] == want
+    out = env.step(a)  # 5th subtask -> full chain complete
+    np.testing.assert_allclose(out.reward, 1.0)
+    assert out.done.all() and out.info["success"].all()
+    m = env.metrics()
+    assert m["env/success_once"] == 1.0
+    assert m["env/avg_chain_length"] == 5.0
+
+
+def test_calvin_worker_partition_disjoint():
+    from fake_sims import FakeCalvinBenchmark, FakeCalvinVectorEnv
+
+    from rlinf_tpu.envs.adapters import CalvinEnv
+
+    def mk(rank):
+        fake = FakeCalvinVectorEnv(num_envs=2)
+        env = CalvinEnv(2, seed=0, env_factory=lambda: fake,
+                        benchmark=FakeCalvinBenchmark(),
+                        num_reset_states=32, partition_rank=rank,
+                        partition_size=4)
+        return env
+
+    e0, e1 = mk(0), mk(1)
+    assert not set(e0._state_ids.tolist()) & set(e1._state_ids.tolist())
+    assert len(e0._state_ids) == 8

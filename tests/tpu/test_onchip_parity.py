@@ -420,8 +420,113 @@ def check_fused_sampler() -> dict:
     return {"greedy_agree": agree, "lp_err": max(g_err, s_err)}
 
 
+def check_megakernel_generate() -> dict:
+    """Whole-decode-step megakernel (ops/pallas/decode_megakernel.py) inside
+    the full jitted generate loop vs the per-layer q8 pallas path: greedy
+    tokens must match and behavior logprobs must agree — the exact serving
+    configuration bench.py measures when mega weights are passed."""
+    from rlinf_tpu.models.llm import (
+        LLMConfig, SamplingParams, generate, init_params, quantize_params,
+    )
+    from rlinf_tpu.ops.pallas.decode_megakernel import pack_decode_weights
+
+    cfg = LLMConfig(
+        vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=64, intermediate_size=512, max_seq_len=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    qparams = quantize_params(params)
+    plan, mw = pack_decode_weights(qparams, cfg, chunk_width=256)
+    B, P, N = 8, 64, 16
+    r = np.random.default_rng(5)
+    ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B, P)), jnp.int32)
+    mask = jnp.ones((B, P), bool)
+    sp = SamplingParams(max_new_tokens=N, greedy=True, eos_token_id=-1)
+
+    def run(mega):
+        out = jax.jit(lambda p, qp, mw, rg, i, m: generate(
+            p, cfg, rg, i, m, sp, decode_params=qp,
+            decode_attn_impl="pallas", kv_quant="int8",
+            mega=(plan, mw) if mega else None, sampler_impl="xla",
+        ))(params, qparams, mw, jax.random.PRNGKey(1), ids, mask)
+        return (np.asarray(out.response_ids),
+                np.asarray(out.response_logprobs, np.float32))
+
+    toks_ref, lp_ref = run(mega=False)
+    toks_mega, lp_mega = run(mega=True)
+    agree = float((toks_ref == toks_mega).mean())
+    # logprob parity is only meaningful BEFORE a (legitimate, near-tie)
+    # greedy token flip: once one row picks a different argmax the
+    # sequences fork and later logprobs compare different texts.
+    err = np.abs(lp_ref - lp_mega)
+    same = toks_ref == toks_mega
+    prefix = np.cumprod(same, axis=1).astype(bool)
+    lp_err = float(err[prefix].max()) if prefix.any() else 0.0
+    assert agree > 0.95, f"megakernel generate greedy divergence: {agree}"
+    assert lp_err < 0.05, (
+        f"megakernel generate pre-divergence logprob err {lp_err}")
+    return {"greedy_agree": agree, "lp_max_err_predivergence": lp_err}
+
+
+def check_moe_layer() -> dict:
+    """MoE expert dispatch on the real chip: the dropless ``ragged_dot``
+    path and the GShard capacity-einsum path vs a dense all-experts oracle
+    (every expert computed for every token, combined with the same top-k
+    router weights). Run in f32 so the oracle comparison is tight; a bf16
+    dropless-vs-capacity row covers the production dtype."""
+    from rlinf_tpu.ops.moe import (
+        MoEConfig, init_moe_params, moe_layer_capacity, moe_layer_dropless,
+    )
+
+    B, S, D, E, F, K = 4, 128, 256, 16, 256, 2
+    moe = MoEConfig(num_experts=E, num_experts_per_token=K,
+                    capacity_factor=8.0)  # drop-free
+    params = init_moe_params(jax.random.PRNGKey(0), D, F, moe, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, D), jnp.float32) * 0.5
+
+    def oracle(params, x):
+        from rlinf_tpu.ops.moe import _route
+
+        N = B * S
+        tokens = x.reshape(N, D)
+        _, topk_probs, topk_idx = _route(params, tokens, moe)
+        # all experts, all tokens: [E, N, F] -> [E, N, D]
+        g = jnp.einsum("nd,edf->enf", tokens, params["gate"])
+        u = jnp.einsum("nd,edf->enf", tokens, params["up"])
+        y = jnp.einsum("enf,efd->end", jax.nn.silu(g) * u, params["down"])
+        w = jnp.zeros((N, E), jnp.float32)
+        w = w.at[jnp.arange(N)[:, None], topk_idx].add(topk_probs)
+        return jnp.einsum("ne,end->nd", w, y).reshape(B, S, D)
+
+    ref = np.asarray(jax.device_get(jax.jit(oracle)(params, x)), np.float32)
+    outs = {}
+    for name, fn in (("dropless", moe_layer_dropless),
+                     ("capacity", moe_layer_capacity)):
+        got = jax.jit(lambda p, x, fn=fn: fn(p, x, moe)[0])(params, x)
+        got = np.asarray(jax.device_get(got), np.float32)
+        rel = float(np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9))
+        outs[f"{name}_rel"] = rel
+        assert rel < 1e-3, f"moe {name} vs dense oracle rel err {rel}"
+
+    # production dtype: dropless vs capacity must agree in bf16 too
+    pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+    xb = x.astype(jnp.bfloat16)
+    a = np.asarray(jax.device_get(
+        jax.jit(lambda p, x: moe_layer_dropless(p, x, moe)[0])(pb, xb)
+    ), np.float32)
+    b = np.asarray(jax.device_get(
+        jax.jit(lambda p, x: moe_layer_capacity(p, x, moe)[0])(pb, xb)
+    ), np.float32)
+    rel_bf16 = float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9))
+    assert rel_bf16 < 3e-2, f"moe dropless vs capacity bf16 rel {rel_bf16}"
+    outs["dropless_vs_capacity_bf16_rel"] = rel_bf16
+    return outs
+
+
 CHECKS = [
     ("decode_kernel", check_decode_kernel),
+    ("megakernel_generate", check_megakernel_generate),
+    ("moe_layer", check_moe_layer),
     ("fused_ce", check_fused_ce),
     ("fused_sampler", check_fused_sampler),
     ("q8_decode_kernel", check_q8_decode_kernel),
