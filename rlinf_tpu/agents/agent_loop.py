@@ -49,6 +49,9 @@ class AgentRollout:
     # grpo_dynamic advantages (reference MultiAgentLoopWorker per-turn
     # outputs, agent_loop.py:432+; advantages.py:125 turn mode)
     turn_spans: List[tuple] = dataclasses.field(default_factory=list)
+    # True where turn k's tool feedback errored — feeds failed-turn loss
+    # masking (reference wideseek_r1.py:309 _mark_role_failed_turns)
+    turn_errors: List[bool] = dataclasses.field(default_factory=list)
 
 
 class AgentLoop:
@@ -121,13 +124,14 @@ class AgentLoop:
                 r.loss_mask.extend([True] * len(ids))
                 r.logprobs.extend(lps)
                 r.turn_spans.append((start, len(r.token_ids)))
+                r.turn_errors.append(False)
                 r.num_turns += 1
 
                 if call is not None and turn < self.cfg.max_turns - 1:
                     r.num_tool_calls += 1
-                    obs = self.cfg.tool_result_template.format(
-                        self.tools.call(call.tool, call.args, session=i)
-                    )
+                    tool_out = self.tools.call(call.tool, call.args, session=i)
+                    r.turn_errors[-1] = str(tool_out).startswith("error")
+                    obs = self.cfg.tool_result_template.format(tool_out)
                     obs_ids = self.tokenizer.encode(obs)
                     room = self.cfg.max_total_len - len(r.token_ids)
                     obs_ids = obs_ids[: max(room, 0)]

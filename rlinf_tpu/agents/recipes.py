@@ -170,9 +170,13 @@ class RStar2Recipe:
         )
 
     def reward(self, rollout: AgentRollout, answer: str) -> float:
-        """Fused scorer: math verify on the final text, penalized by tool
-        errors surfaced in the transcript."""
-        base = math_reward(rollout.final_text, answer)
+        """Fused scorer: the full prime_math grading ladder
+        (algorithms/rewards/rstar2_score.py — reference
+        fused_compute_score/compute_score.py:22), penalized by tool errors
+        surfaced in the transcript."""
+        from rlinf_tpu.algorithms.rewards.rstar2_score import rstar2_reward
+
+        base = rstar2_reward(rollout.final_text, answer)
         n_errors = rollout.final_text.count("<result>error:")
         return float(base - self.tool_error_penalty * n_errors)
 
@@ -278,6 +282,86 @@ class WideSeekR1Recipe:
             "searcher": [final_scores[o] for o in owner],
             "summarizer": list(final_scores),
         }
+
+    def build_team_batch(
+        self,
+        team: Dict[str, List[AgentRollout]],
+        answers: Sequence[str],
+        *,
+        group_size: int = 1,
+        pad_id: int = 0,
+        normalize_advantages: bool = True,
+    ):
+        """ALL roles of every team episode as ONE training batch.
+
+        Reference analog: MultiAgentLoopWorker collecting per-role
+        single_turn_outputs into one RolloutResult for the actor
+        (reference rlinf/workers/agent/agent_loop.py:432 + the
+        ma_megatron_actor_worker training path): each row is one role
+        member's full sequence with its own per-turn loss mask, the TEAM's
+        terminal score is group-normalized over the ``group_size`` team
+        episodes of each question (GRPO), and FAILED turns (tool errors /
+        context overflows — reference wideseek_r1.py:309
+        _mark_role_failed_turns) are masked out of the loss.
+
+        Returns (TrainBatch, role_names [B], metrics).
+        """
+        from rlinf_tpu.agents.agent_loop import build_agent_train_batch
+        from rlinf_tpu.algorithms import get_advantage_fn
+
+        n_teams = len(team["summarizer"])
+        assert n_teams % group_size == 0, (n_teams, group_size)
+        scores = np.asarray(
+            list(self.team_rewards(team, answers)["summarizer"]), np.float32)
+
+        adv_fn = get_advantage_fn("grpo")
+        import jax.numpy as jnp
+
+        adv, _ = adv_fn(
+            rewards=jnp.asarray(scores),
+            loss_mask=jnp.ones((1, n_teams), jnp.float32),
+            group_size=group_size,
+            normalize_advantages=normalize_advantages,
+        )
+        team_adv = np.asarray(adv)[0]          # [n_teams]
+
+        owner = team["_owner"]
+        rollouts, roles, seq_adv = [], [], []
+        n_masked_turns = 0
+        for role in ("planner", "searcher", "summarizer"):
+            for j, r in enumerate(team[role]):
+                t = owner[j] if role == "searcher" else j
+                r = mask_failed_turns(r)
+                n_masked_turns += r.num_turns - sum(
+                    1 for s, e in r.turn_spans
+                    if any(r.loss_mask[s:e]))
+                rollouts.append(r)
+                roles.append(role)
+                seq_adv.append(team_adv[t])
+        batch = build_agent_train_batch(
+            rollouts, np.asarray(seq_adv, np.float32), pad_id=pad_id)
+        metrics = {
+            "agent/team_score_mean": float(scores.mean()),
+            "agent/rows": float(len(rollouts)),
+            "agent/failed_turns_masked": float(n_masked_turns),
+        }
+        return batch, roles, metrics
+
+
+def mask_failed_turns(rollout: AgentRollout) -> AgentRollout:
+    """Zero the loss mask over MODEL turns whose tool feedback errored —
+    the reference's failed-turn masking (wideseek_r1.py:309): a turn whose
+    tool call failed still appears in the context (later turns condition on
+    it) but contributes no gradient."""
+    import dataclasses as _dc
+
+    mask = list(rollout.loss_mask)
+    errors = rollout.turn_errors or [False] * len(rollout.turn_spans)
+    for (s, e), failed in zip(rollout.turn_spans, errors):
+        if failed:
+            for i in range(s, e):
+                mask[i] = False
+    return _dc.replace(rollout, loss_mask=mask)
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,18 @@ class DataConfig:
     train_path: Optional[str] = None
     max_prompt_len: int = 512
     max_examples: Optional[int] = None
+    # --- reference reasoning-dataset conventions (rlinf/data/datasets/
+    # reasoning.py + __init__.py create_rl_dataset) -------------------
+    type: str = "reasoning"          # reasoning | math | wideseek_r1 | rstar2
+    train_data_paths: Optional[object] = None   # str or list[str]
+    val_data_paths: Optional[object] = None
+    prompt_key: str = "prompt"
+    answer_key: str = "answer"
+    apply_chat_template: bool = False
+    filter_prompt_by_length: bool = False
+    data_size: Optional[int] = None
+    process_workers: int = 1
+    process_batch_size: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -244,9 +244,27 @@ class Pi0Policy(Policy):
                      prefix_len, obs, x_t, t):
         """Velocity v(x_t, t | prefix): expert suffix attending over cached
         prefix KV. x_t [B, K, A], t [B] -> [B, K, A]."""
-        c, v = self.cfg, self.vlm_cfg
-        ex = params["expert"]
+        c = self.cfg
         x, block, temb = self._suffix_tokens(params, obs, x_t, t)
+        ada = None
+        if c.discrete_state:
+            ada = 1.0 + _mlp_apply(params["time_ada"], temb)[:, None, :]
+        x = self._suffix_hidden(
+            params, prefix_k, prefix_v, prefix_valid, prefix_len,
+            x, block, ada,
+        )
+        act_hidden = x[:, -c.action_chunk:, :]
+        return _mlp_apply(params["action_out"], act_hidden)  # [B, K, A]
+
+    def _suffix_hidden(self, params, prefix_k, prefix_v, prefix_valid,
+                       prefix_len, x, block, ada=None):
+        """Run suffix tokens ``x`` [B, Ns, De] (block ids ``block`` [Ns])
+        through the expert layers attending over the cached prefix KV;
+        returns the final-norm hidden states [B, Ns, De]. Shared by the
+        flow action expert and the RECAP-style value expert
+        (models/embodiment/value_critic.py)."""
+        v = self.vlm_cfg
+        ex = params["expert"]
         B, Ns, De = x.shape
         Np = prefix_k.shape[2]
         Hd = v.head_dim_
@@ -261,9 +279,6 @@ class Pi0Policy(Policy):
         kvalid = jnp.concatenate(
             [prefix_valid, jnp.ones((B, Ns), bool)], axis=1
         )
-        ada = None
-        if c.discrete_state:
-            ada = 1.0 + _mlp_apply(params["time_ada"], temb)[:, None, :]  # [B,1,De]
 
         def layer_fn(x, inputs):
             layer, pk, pv = inputs
@@ -291,9 +306,7 @@ class Pi0Policy(Policy):
               "gate", "up", "down")},
             prefix_k, prefix_v,
         ))
-        x = rms_norm(x, ex["final_norm"], v.rms_eps)
-        act_hidden = x[:, -c.action_chunk:, :]
-        return _mlp_apply(params["action_out"], act_hidden)  # [B, K, A]
+        return rms_norm(x, ex["final_norm"], v.rms_eps)
 
     def _velocity_fn(self, params, obs):
         """Closure (x_t, t) -> v with the prefix encoded ONCE."""

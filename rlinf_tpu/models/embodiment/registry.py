@@ -114,3 +114,25 @@ def _starvla(cfg: GR00TConfig = None, **kw):
 def _dm0(cfg: GR00TConfig = None, **kw):
     """Diffusion/flow action model head (reference dexbotic DM0)."""
     return GR00TPolicy(cfg or GR00TConfig(**kw))
+
+
+@register_model("recap_critic")
+def _recap(vcfg=None, **kw):
+    """RECAP categorical value critic (reference
+    value_model/recap/modeling_critic.py:129, 1,099 LoC)."""
+    from rlinf_tpu.models.embodiment.value_critic import (
+        ValueCriticConfig, ValueCriticPolicy,
+    )
+
+    return ValueCriticPolicy(vcfg or ValueCriticConfig(), **kw)
+
+
+@register_model("steam_critic")
+def _steam(cfg=None, **kw):
+    """STEAM pairwise stride ensemble critic (reference
+    value_model/steam/modeling_steam.py + ensemble_modeling_critic.py)."""
+    from rlinf_tpu.models.embodiment.value_critic import (
+        SteamConfig, SteamCritic,
+    )
+
+    return SteamCritic(cfg or SteamConfig(**kw))

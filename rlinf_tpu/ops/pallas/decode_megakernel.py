@@ -133,10 +133,18 @@ def make_plan(cfg: LLMConfig, chunk_width: int = 2048) -> MegaPlan:
     assert QD == D, "megakernel requires num_heads*head_dim == hidden_size"
     assert not cfg.qk_norm, "megakernel does not support qk-norm models"
     assert not cfg.is_moe, "megakernel is dense-MLP only"
+    # the down-projection's per-out-channel scales ([D]) ride in one CW-wide
+    # scale slot (pack_decode_weights), so the chunk must span hidden
+    assert chunk_width >= D, (
+        f"megakernel chunk_width {chunk_width} must be >= hidden {D}")
     CW = chunk_width
     return MegaPlan(
         D=D, QD=QD, KVD=KVD, H=cfg.num_heads, Kv=cfg.num_kv_heads, Hd=Hd,
-        Hp=max(8, cfg.num_heads), F=cfg.intermediate_size, L=cfg.num_layers,
+        # sublane-pad the head count to a multiple of 8: scratch like
+        # q3/m/l/acc is [B, Hp, ...] and Mosaic lowers row indexing on a
+        # non-8-multiple sublane dim through an unsupported gather
+        Hp=-(-cfg.num_heads // 8) * 8, F=cfg.intermediate_size,
+        L=cfg.num_layers,
         CW=CW, eps=cfg.rms_eps,
         n_qkv=math.ceil((QD + 2 * KVD) / CW),
         n_wo=math.ceil(D / CW),
@@ -471,7 +479,10 @@ def _mega_kernel(
                 gu, w, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # [B, D]
-            x_sc[:] = x_sc[:] + out * wsc_ref[0, 0][None, :P.D]
+            # direct ref slice (static, lane-aligned): loading the full row
+            # and numpy-slicing it lowers through an unsupported >2D gather
+            # whenever D < CW
+            x_sc[:] = x_sc[:] + out * wsc_ref[0, 0, :P.D][None, :]
 
     @pl.when((l == P.L - 1) & (p == P.nph - 1))
     def _emit():

@@ -126,3 +126,49 @@ def test_external_agent_adapter(tiny):
     assert span_tokens == sum(rollout.loss_mask)
     batch = build_agent_train_batch([rollout], [1.0], pad_id=0)
     assert batch.input_ids.shape[0] == 1
+
+
+def test_team_batch_one_batch_all_roles(tiny):
+    """Multi-agent tree training (VERDICT r4 item 9): every role of every
+    team episode lands in ONE TrainBatch with per-turn loss masks and
+    group-normalized team advantages (reference MultiAgentLoopWorker,
+    rlinf/workers/agent/agent_loop.py:432)."""
+    import numpy as np
+
+    engine, params, tokenizer = tiny
+    recipe = WideSeekR1Recipe(num_searchers=2, max_total_len=256)
+    questions = ["q alpha", "q alpha"]  # 1 question x group_size 2
+    corpus = {"alpha": "alpha is answer-a"}
+    team = recipe.run_team(engine, tokenizer, params, questions, corpus,
+                           jax.random.PRNGKey(3))
+    batch, roles, metrics = recipe.build_team_batch(
+        team, ["answer-a", "answer-a"], group_size=2, pad_id=0)
+    # rows: 2 planners + 4 searchers + 2 summarizers
+    assert len(roles) == 8
+    assert roles.count("planner") == 2 and roles.count("searcher") == 4
+    d = batch.to_dict()
+    assert d["input_ids"].shape[0] == 8
+    # every row with any loss tokens carries a single advantage value
+    lm = d["loss_mask"]
+    adv = d["advantages"]
+    for i in range(8):
+        vals = set(np.round(adv[i][lm[i]], 6).tolist())
+        assert len(vals) <= 1
+    assert metrics["agent/rows"] == 8.0
+
+
+def test_mask_failed_turns():
+    from rlinf_tpu.agents.recipes import mask_failed_turns
+
+    r = AgentRollout(
+        token_ids=list(range(10)),
+        loss_mask=[False] * 2 + [True] * 8,
+        logprobs=[0.0] * 10,
+        num_turns=2,
+        turn_spans=[(2, 5), (7, 10)],
+        turn_errors=[True, False],
+    )
+    out = mask_failed_turns(r)
+    assert out.loss_mask[2:5] == [False] * 3      # failed turn masked
+    assert out.loss_mask[7:10] == [True] * 3      # good turn kept
+    assert r.loss_mask[2:5] == [True] * 3         # original untouched
