@@ -91,6 +91,7 @@ def main():
         subset = None if parity_mode == "full" else {
             "decode_kernel", "decode_in_model", "flash_train_step",
             "q8_generate", "fused_ce", "fused_sampler",
+            "megakernel_generate",
         }
         gate = run_all(checks=subset)
         print(json.dumps({"parity_gate": gate}), file=sys.stderr)
@@ -177,29 +178,48 @@ def main():
     params = state.params
     qparams = quantize_params(params) if on_tpu else None
     sp = SamplingParams(max_new_tokens=N_gen, temperature=1.0, eos_token_id=-1)
+    # Round-5 production decode: the whole step runs as ONE pallas call
+    # (ops/pallas/decode_megakernel.py — removes the ~24us/pallas_call x
+    # layers launch floor and streams all int8 weights through one uniform
+    # chunk window). Parity-gated by megakernel_generate above. Measured
+    # v5e (B=64, P=N=256): 1.5B 1.579 -> 1.394s; 0.5B 0.746 -> 0.625s.
+    mega = None
+    if on_tpu and not cfg.is_moe and not cfg.qk_norm:
+        from rlinf_tpu.ops.pallas.decode_megakernel import pack_decode_weights
+
+        plan, mega_w = pack_decode_weights(qparams, cfg)
+        mega = True
     gen = jax.jit(
-        lambda p, qp, rng, ids, mask: generate(
+        lambda p, qp, mw, rng, ids, mask: generate(
             p, cfg, rng, ids, mask, sp, decode_params=qp,
             decode_attn_impl="pallas" if on_tpu else None,
             # int8 KV cache (quantize-on-write, q8 pallas kernel) — halves
             # cache traffic; parity-gated by the q8_generate check above
             kv_quant="int8" if on_tpu else "none",
+            mega=(plan, mw) if mega else None,
+        )
+    ) if mega else jax.jit(
+        lambda p, qp, mw, rng, ids, mask: generate(
+            p, cfg, rng, ids, mask, sp, decode_params=qp,
+            decode_attn_impl="pallas" if on_tpu else None,
+            kv_quant="int8" if on_tpu else "none",
         )
     )
+    mega_w = mega_w if mega else None
     ids = jnp.asarray(r.integers(0, cfg.vocab_size, (B_gen, P_gen)), jnp.int32)
     mask = jnp.ones((B_gen, P_gen), bool)
     # Warm to steady state before timing: the first executions of a fresh
     # executable run ~1.8x slower on the tunneled chip (measured ramp
     # 1.20s -> 0.67s for identical calls); serving throughput is the
     # steady-state number.
-    out = gen(params, qparams, rng, ids, mask)  # compile
+    out = gen(params, qparams, mega_w, rng, ids, mask)  # compile
     _sync(out.response_ids)
     for w in range(3):
-        out = gen(params, qparams, jax.random.fold_in(rng, 100 + w), ids, mask)
+        out = gen(params, qparams, mega_w, jax.random.fold_in(rng, 100 + w), ids, mask)
     _sync(out.response_ids)
     t0 = time.perf_counter()
     for _ in range(max(n_iters // 2, 1)):
-        out = gen(params, qparams, jax.random.fold_in(rng, 1), ids, mask)
+        out = gen(params, qparams, mega_w, jax.random.fold_in(rng, 1), ids, mask)
     _sync(out.response_ids)
     gen_time = (time.perf_counter() - t0) / max(n_iters // 2, 1)
     gen_tokens = B_gen * N_gen

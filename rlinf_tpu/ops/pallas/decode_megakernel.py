@@ -601,6 +601,11 @@ def decode_step_mega(
             jax.ShapeDtypeStruct((P.L, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((P.L, 1, B), jnp.float32),
         ],
+        # scratch + double-buffered windows + staged outputs sit ~0.3MB over
+        # the default 16MB scoped-vmem limit at the 1.5B geometry; v5e has
+        # 128MB of VMEM, so raise the scope
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(
         mw.tbl, meta, starts.astype(jnp.int32),

@@ -212,3 +212,116 @@ def make_migratable_phase(
         return cache[key]
 
     return get
+
+
+def reshard_delta(tree, shardings):
+    """Re-shard only the leaves whose target placement actually differs.
+
+    ``jax.device_put`` on an already-equivalently-sharded array still pays
+    a per-leaf dispatch (measured 1.4s across a 0.5B train state on the
+    single-chip drill where every leaf was a no-op); skipping equivalent
+    leaves makes the single-chip relabel free and the multi-chip case move
+    only the shards that changed owners."""
+    def put(x, sh):
+        cur = getattr(x, "sharding", None)
+        try:
+            if cur is not None and cur.is_equivalent_to(sh, x.ndim):
+                return x
+        except Exception:
+            pass
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+
+class StandbyMigrator:
+    """AOT-compiled standby executables for candidate mesh splits.
+
+    The round-4 drill measured a cold migration at 9.15s: 1.4s re-shard +
+    7.7s re-jit of the train step for the new mesh — against the
+    reference's "switching within 1 second" claim
+    (reference docs guides/dynamic_scheduling.rst:14-47). The fix is the
+    TPU-native one: ``jax.jit(...).lower(...).compile()`` is CHIPLESS —
+    standby executables for the scheduler's candidate splits compile in a
+    background thread while the live loop keeps stepping, so the first
+    real migration pays only the delta re-shard + one already-compiled
+    step.
+
+    build_fn(mesh) -> the phase callable (e.g. make_policy_train_step).
+    ``prepare`` captures the migration-time input SHARDINGS (state under
+    the partition rules on the target mesh; batch replicated/batch-split as
+    the caller passes it), so ``migrate`` can validate-free dispatch.
+    """
+
+    def __init__(self, build_fn: Callable[[Mesh], Callable], rules):
+        self.build_fn = build_fn
+        self.rules = rules
+        self._entries: Dict[int, dict] = {}
+
+    @staticmethod
+    def _key(mesh: Mesh) -> int:
+        return hash((tuple(d.id for d in mesh.devices.flat),
+                     mesh.axis_names, mesh.devices.shape))
+
+    def _abstract(self, tree, shardings):
+        return jax.tree_util.tree_map(
+            lambda x, sh: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh),
+            tree, shardings,
+        )
+
+    def prepare(self, mesh: Mesh, state, batch, *, block: bool = False):
+        """Start (or finish, with ``block=True``) AOT compilation of the
+        phase executable for ``mesh`` using ``state``/``batch`` as shape
+        templates. Returns immediately unless blocking."""
+        key = self._key(mesh)
+        if key in self._entries:
+            if block:
+                self._entries[key]["thread"].join()
+            return
+        state_sh = tree_shardings(
+            state, match_partition_rules(self.rules, state), mesh)
+        batch_sh = jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, P()), batch)
+        entry = {"state_shardings": state_sh, "batch_shardings": batch_sh,
+                 "compiled": None, "error": None}
+
+        def work():
+            try:
+                fn = self.build_fn(mesh)
+                lowered = fn.lower(
+                    self._abstract(state, state_sh),
+                    self._abstract(batch, batch_sh),
+                )
+                entry["compiled"] = lowered.compile()
+            except Exception as e:  # surfaced on migrate()
+                entry["error"] = e
+
+        import threading
+
+        t = threading.Thread(target=work, daemon=True)
+        entry["thread"] = t
+        self._entries[key] = entry
+        t.start()
+        if block:
+            t.join()
+
+    def ready(self, mesh: Mesh) -> bool:
+        e = self._entries.get(self._key(mesh))
+        return bool(e) and not e["thread"].is_alive() and e["compiled"] is not None
+
+    def migrate(self, mesh: Mesh, state, batch):
+        """Delta-reshard state+batch onto ``mesh`` and run ONE step on the
+        standby executable. Returns (new_state, metrics). Falls back to a
+        plain jit build if no standby entry exists (then pays the re-jit)."""
+        key = self._key(mesh)
+        e = self._entries.get(key)
+        if e is None:
+            self.prepare(mesh, state, batch, block=True)
+            e = self._entries[key]
+        else:
+            e["thread"].join()
+        if e["error"] is not None:
+            raise e["error"]
+        state = reshard_delta(state, e["state_shardings"])
+        batch = reshard_delta(batch, e["batch_shardings"])
+        return e["compiled"](state, batch)

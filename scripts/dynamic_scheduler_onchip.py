@@ -111,7 +111,8 @@ def main():
             "delta": mig.delta,
         }
 
-    # MIGRATE: re-shard live state onto mesh B + re-jit + first step
+    # COLD MIGRATION, the round-4 way (re-shard + re-jit in the critical
+    # path) — kept as the baseline number
     t0 = time.perf_counter()
     state = migrate_sharded_state(state, mesh_b, rules)
     sync(state.params)
@@ -124,7 +125,7 @@ def main():
     t_first_step = time.perf_counter() - t0
     out["reshard_s"] = round(t_reshard, 4)
     out["rejit_plus_first_step_s"] = round(t_first_step, 4)
-    out["migration_total_s"] = round(t_reshard + t_first_step, 4)
+    out["migration_total_s_no_standby"] = round(t_reshard + t_first_step, 4)
 
     # migrate BACK: the jit cache makes the return trip cheap
     t0 = time.perf_counter()
@@ -133,8 +134,35 @@ def main():
     sync(m)
     out["migrate_back_cached_s"] = round(time.perf_counter() - t0, 4)
 
+    # COLD MIGRATION with STANDBY EXECUTABLES (VERDICT r4 item 5): a THIRD
+    # mesh split nothing has compiled for. The StandbyMigrator AOT-compiles
+    # its executable in the background (chipless server-side compile) while
+    # the live loop keeps stepping on mesh A; the migration itself then
+    # pays only the delta re-shard + one precompiled step.
+    from rlinf_tpu.parallel.dynamic_scheduler import StandbyMigrator
+
+    mesh_c = make_mesh(
+        MeshConfig(data=1, tensor=1, expert=1), jax.devices()[:1])
+    standby = StandbyMigrator(build_step, rules)
+    t0 = time.perf_counter()
+    standby.prepare(mesh_c, state, batch)
+    live_steps = 0
+    while not standby.ready(mesh_c) and time.perf_counter() - t0 < 900:
+        state, m = step_a(state, batch)   # live loop keeps training
+        sync(m)
+        live_steps += 1
+    out["standby_compile_s_background"] = round(time.perf_counter() - t0, 4)
+    out["standby_live_steps_during_compile"] = live_steps
+    assert standby.ready(mesh_c), "standby compile did not finish"
+
+    t0 = time.perf_counter()
+    state, m = standby.migrate(mesh_c, state, batch)
+    sync(m)
+    out["migration_total_s"] = round(time.perf_counter() - t0, 4)
+
     out["reference_claim_s"] = 1.0
     out["beats_reference_claim_steady"] = out["migrate_back_cached_s"] < 1.0
+    out["beats_reference_claim_cold"] = out["migration_total_s"] < 1.0
     print(json.dumps(out, indent=1))
     with open("logs/dynamic_scheduler_onchip.json", "w") as f:
         json.dump(out, f, indent=1)

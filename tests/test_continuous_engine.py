@@ -148,3 +148,54 @@ def test_kv_quant_int8_engine():
     # greedy tokens may diverge on near-ties; logprob magnitudes stay close
     lp_diff = np.abs(a.response_logprobs - b.response_logprobs).mean()
     assert lp_diff < 0.2, lp_diff
+
+
+def test_pool_compaction_long_tail_greedy_identical():
+    """Long-tail compaction (VERDICT r4 item 6): once the pending queue
+    drains, the pool shrinks to a power-of-two over the live slots; greedy
+    outputs are bit-identical with compaction on/off and the compacted run
+    visits smaller decode shapes."""
+    cfg = LLMConfig.tiny(max_seq_len=256)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sp = SamplingParams(max_new_tokens=64, greedy=True, eos_token_id=-1,
+                        pad_token_id=0)
+    r = np.random.default_rng(0)
+    n_req = 24
+    budgets = [4, 8, 12, 16, 24, 64] * 4     # ragged long tail
+    prompts = [list(map(int, r.integers(2, 250, int(r.integers(4, 16)))))
+               for _ in range(n_req)]
+    request = RolloutRequest(
+        prompt_ids=prompts, answers=[""] * n_req,
+        max_new_tokens=budgets,
+    )
+
+    outs = {}
+    sizes = {}
+    for compact in (False, True):
+        eng = ContinuousBatchingEngine(
+            cfg, sp, num_slots=32, max_seq_len=256, prompt_bucket=16,
+            decode_chunk=4, compact=compact,
+        )
+        seen = []
+        orig = eng.decode_and_harvest
+
+        def spy(pool, dparams, rng, _orig=orig, _seen=seen):
+            _seen.append(pool.size)
+            return _orig(pool, dparams, rng)
+
+        eng.decode_and_harvest = spy
+        outs[compact] = eng.rollout(params, request, jax.random.PRNGKey(7))
+        sizes[compact] = seen
+
+    assert min(sizes[True]) < 32, sizes[True]       # pool actually shrank
+    assert set(sizes[False]) == {32}
+    a, b = outs[False], outs[True]
+    np.testing.assert_array_equal(
+        np.asarray(a.response_ids), np.asarray(b.response_ids))
+    np.testing.assert_array_equal(
+        np.asarray(a.response_lengths), np.asarray(b.response_lengths))
+    # budgets respected
+    assert all(
+        int(l) <= bud
+        for l, bud in zip(np.asarray(a.response_lengths), budgets)
+    )

@@ -115,3 +115,83 @@ def test_live_submesh_migration(devices):
     assert len(builds) == 2
     get_phase(mesh_a)   # cache hit, no rebuild
     assert len(builds) == 2
+
+
+def test_standby_migrator_aot(devices):
+    """StandbyMigrator (VERDICT r4 item 5): AOT-compiles the train step for
+    a candidate split in the background; migrate() runs the precompiled
+    executable after a delta reshard and matches the plain-jit result."""
+    import numpy as np
+
+    from rlinf_tpu.models.llm import LLMConfig, init_params
+    from rlinf_tpu.models.llm import model as M
+    from rlinf_tpu.parallel import MeshConfig, make_mesh
+    from rlinf_tpu.parallel.dynamic_scheduler import (
+        StandbyMigrator, migrate_sharded_state, reshard_delta,
+    )
+    from rlinf_tpu.training.learner import (
+        PolicyLossConfig, make_policy_train_step,
+    )
+    from rlinf_tpu.training.train_state import (
+        OptimizerConfig, create_train_state, make_optimizer,
+    )
+
+    cfg = LLMConfig.tiny(max_seq_len=64)
+    tx = make_optimizer(OptimizerConfig(lr=1e-4))
+    rules = M.partition_rules()
+    mesh_a = make_mesh(MeshConfig(data=-1), jax.devices()[:4])
+    mesh_b = make_mesh(MeshConfig(data=-1, tensor=2), jax.devices()[4:8])
+
+    state = create_train_state(
+        lambda r: init_params(cfg, r), tx, jax.random.PRNGKey(0),
+        mesh=mesh_a, partition_rules=rules,
+    )
+    r = np.random.default_rng(0)
+    B, T = 8, 32
+    batch = {
+        "input_ids": jnp.asarray(r.integers(0, 256, (B, T)), jnp.int32),
+        "attention_mask": jnp.ones((B, T), bool),
+        "target_ids": jnp.asarray(r.integers(0, 256, (B, T)), jnp.int32),
+        "loss_mask": jnp.ones((B, T), bool),
+        "old_logprobs": jnp.asarray(r.normal(size=(B, T)) * 0.1, jnp.float32),
+        "advantages": jnp.asarray(r.normal(size=(B, T)), jnp.float32),
+    }
+
+    def build(mesh):
+        return make_policy_train_step(
+            cfg, PolicyLossConfig(logprob_chunk_size=32), tx, mesh=mesh)
+
+    mig = StandbyMigrator(build, rules)
+    mig.prepare(mesh_b, state, batch, block=True)
+    assert mig.ready(mesh_b)
+
+    # oracle: plain jit path on mesh_b
+    ref_state = migrate_sharded_state(state, mesh_b, rules)
+    ref_state, ref_m = build(mesh_b)(ref_state, batch)
+    new_state, m = mig.migrate(mesh_b, state, batch)
+    np.testing.assert_allclose(
+        float(m["actor/loss"]), float(ref_m["actor/loss"]), rtol=1e-5)
+    # state landed on mesh_b devices
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert set(leaf.sharding.device_set) <= set(mesh_b.devices.flat)
+
+
+def test_reshard_delta_skips_equivalent(devices):
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rlinf_tpu.parallel import MeshConfig, make_mesh
+    from rlinf_tpu.parallel.dynamic_scheduler import reshard_delta
+
+    mesh_a = make_mesh(MeshConfig(data=1), jax.devices()[:1])
+    mesh_b = make_mesh(MeshConfig(data=1, tensor=1), jax.devices()[:1])
+    x = jax.device_put(jnp.ones((8, 8)), NamedSharding(mesh_a, P()))
+    out = reshard_delta([x], [NamedSharding(mesh_b, P())])
+    # single-device relabels are placement-equivalent: same buffer
+    assert out[0] is x
+    # a real move is not skipped
+    mesh_c = make_mesh(MeshConfig(data=1), jax.devices()[1:2])
+    out2 = reshard_delta([x], [NamedSharding(mesh_c, P())])
+    assert out2[0] is not x
+    assert set(out2[0].sharding.device_set) == {jax.devices()[1]}
