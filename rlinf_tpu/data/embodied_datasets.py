@@ -269,3 +269,97 @@ class ActionChunkDataset:
         """Model output -> env action units (rollout-side inverse)."""
         return self.stats["actions"].unnormalize(
             actions, self.norm_mode_actions)
+
+
+# ---------------------------------------------------------------------------
+# STEAM pair dataset (VERDICT r4 item 10 family tail): labeled temporal
+# frame pairs for the stride critic (models/embodiment/value_critic.SteamCritic).
+# Reference: rlinf/data/datasets/steam/pair_dataset.py (binary fixed-stride
+# mode with end-of-episode clamp; multi-bin mode with per-anchor uniform
+# stride resampling; optional length-scaled binning so a fixed frame jump
+# maps to more progress in shorter episodes).
+# ---------------------------------------------------------------------------
+
+
+def signed_stride_to_bin(stride: float, k: int, num_bins: int) -> int:
+    """Signed stride in [-K, K] \\ {0} -> bin in [0, num_bins). First half
+    regressive (far -> near), second half progressive (near -> far);
+    |stride| > K saturates into the extreme bins."""
+    if num_bins == 2:
+        return int(stride > 0)
+    half = num_bins // 2
+    mag = min(max(abs(float(stride)), 1.0), float(k))
+    sub = int(np.ceil(mag * half / k)) - 1
+    return half + sub if stride > 0 else half - 1 - sub
+
+
+class SteamPairDataset:
+    """Frame pairs (image_t, image_tk, label) from per-episode image arrays.
+
+    ``episodes``: list of dicts with ``images`` [T, H, W, C] (uint8 or
+    float) and optional ``prompt``. Anchors enumerate every (episode, t)
+    with t <= T-2; each anchor yields one positive (forward) and one
+    negative (backward) pair, interleaved — the reference's
+    positive/negative index decoding.
+    """
+
+    def __init__(self, episodes: List[Dict[str, np.ndarray]], *,
+                 k: int = 8, num_bins: int = 2,
+                 length_scale: bool = False, seed: int = 0):
+        if num_bins < 2 or num_bins % 2:
+            raise ValueError(f"num_bins must be >= 2 and even: {num_bins}")
+        self.episodes = episodes
+        self.k = k
+        self.num_bins = num_bins
+        self.length_scale = length_scale
+        self._rng = np.random.default_rng(seed)
+        self._anchors = [
+            (e, t)
+            for e, ep in enumerate(episodes)
+            for t in range(len(ep["images"]) - 1)
+        ]
+        self._len_ref = max(
+            (len(ep["images"]) for ep in episodes), default=0)
+
+    def __len__(self) -> int:
+        return 2 * len(self._anchors)
+
+    def __getitem__(self, idx: int) -> Dict:
+        pos = idx // 2
+        is_positive = idx % 2 == 0
+        e, t = self._anchors[pos]
+        ep = self.episodes[e]
+        T = len(ep["images"])
+        if self.num_bins == 2:
+            # binary: fixed stride k, clamped at the episode end
+            tk = min(t + self.k, T - 1)
+            a, b = (t, tk) if is_positive else (tk, t)
+            label = int(is_positive)
+            stride = self.k if is_positive else -self.k
+        else:
+            max_stride = min(self.k, T - 1 - t)
+            i = int(self._rng.integers(1, max_stride + 1))
+            a, b = (t, t + i) if is_positive else (t + i, t)
+            stride = i if is_positive else -i
+            s = float(stride)
+            if self.length_scale and self._len_ref:
+                s *= max(1.0, self._len_ref / float(T))
+            label = signed_stride_to_bin(s, self.k, self.num_bins)
+        return {
+            "image_t": np.asarray(ep["images"][a]),
+            "image_tk": np.asarray(ep["images"][b]),
+            "label": label,
+            "stride": stride,
+            "episode": e,
+            "prompt": ep.get("prompt", ""),
+        }
+
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        idx = self._rng.integers(0, len(self), batch_size)
+        items = [self[int(i)] for i in idx]
+        return {
+            "image_t": np.stack([it["image_t"] for it in items]),
+            "image_tk": np.stack([it["image_tk"] for it in items]),
+            "labels": np.asarray([it["label"] for it in items], np.int32),
+            "strides": np.asarray([it["stride"] for it in items], np.int32),
+        }

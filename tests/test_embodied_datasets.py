@@ -133,3 +133,62 @@ def test_sft_runner_consumes_chunk_dataset():
     first = np.mean([h["sft/loss"] for h in hist[:5]])
     last = np.mean([h["sft/loss"] for h in hist[-5:]])
     assert last < first, f"SFT loss did not drop: {first:.4f} -> {last:.4f}"
+
+
+def test_steam_pair_dataset_binary_and_multibin():
+    """STEAM pair dataset (reference data/datasets/steam/pair_dataset.py):
+    binary fixed-stride pairs with end clamp; multi-bin resampled strides
+    with length scaling."""
+    from rlinf_tpu.data.embodied_datasets import (
+        SteamPairDataset, signed_stride_to_bin,
+    )
+
+    r = np.random.default_rng(0)
+    eps = [{"images": r.integers(0, 255, (T, 8, 8, 3), dtype=np.uint8)}
+           for T in (6, 12)]
+    ds = SteamPairDataset(eps, k=4, num_bins=2)
+    assert len(ds) == 2 * (5 + 11)
+    pos, neg = ds[0], ds[1]
+    assert pos["label"] == 1 and neg["label"] == 0
+    # forward pair goes t -> min(t+k, T-1); the negative is its reverse
+    np.testing.assert_array_equal(pos["image_t"], neg["image_tk"])
+    np.testing.assert_array_equal(pos["image_tk"], neg["image_t"])
+
+    # multi-bin: labels always in range, sign halves correct
+    ds4 = SteamPairDataset(eps, k=4, num_bins=4, seed=1)
+    for i in range(0, len(ds4), 3):
+        it = ds4[i]
+        assert 0 <= it["label"] < 4
+        assert (it["label"] >= 2) == (it["stride"] > 0)
+
+    # bin mapping: near/far split at K/2
+    assert signed_stride_to_bin(1, 4, 4) == 2
+    assert signed_stride_to_bin(4, 4, 4) == 3
+    assert signed_stride_to_bin(-1, 4, 4) == 1
+    assert signed_stride_to_bin(-4, 4, 4) == 0
+    # length scaling saturates short-episode strides outward
+    ds_ls = SteamPairDataset(eps, k=4, num_bins=4, length_scale=True, seed=2)
+    b = ds_ls.sample_batch(32)
+    assert set(b["labels"].tolist()) <= {0, 1, 2, 3}
+    assert b["image_t"].shape == (32, 8, 8, 3)
+
+
+def test_steam_pair_dataset_feeds_critic():
+    import jax
+    import jax.numpy as jnp
+
+    from rlinf_tpu.data.embodied_datasets import SteamPairDataset
+    from rlinf_tpu.models.embodiment.value_critic import (
+        SteamConfig, SteamCritic,
+    )
+
+    r = np.random.default_rng(3)
+    eps = [{"images": r.random((10, 32, 32, 3)).astype(np.float32)}]
+    ds = SteamPairDataset(eps, k=4, num_bins=2)
+    batch = ds.sample_batch(8)
+    crit = SteamCritic(SteamConfig(num_bins=2, ensemble_size=2))
+    params = crit.init(jax.random.PRNGKey(0))
+    loss, m = crit.loss(
+        params, jnp.asarray(batch["image_t"]), jnp.asarray(batch["image_tk"]),
+        jnp.asarray(batch["strides"]))
+    assert np.isfinite(float(loss))

@@ -498,15 +498,21 @@ def check_moe_layer() -> dict:
         w = w.at[jnp.arange(N)[:, None], topk_idx].add(topk_probs)
         return jnp.einsum("ne,end->nd", w, y).reshape(B, S, D)
 
-    ref = np.asarray(jax.device_get(jax.jit(oracle)(params, x)), np.float32)
-    outs = {}
-    for name, fn in (("dropless", moe_layer_dropless),
-                     ("capacity", moe_layer_capacity)):
-        got = jax.jit(lambda p, x, fn=fn: fn(p, x, moe)[0])(params, x)
-        got = np.asarray(jax.device_get(got), np.float32)
-        rel = float(np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9))
-        outs[f"{name}_rel"] = rel
-        assert rel < 1e-3, f"moe {name} vs dense oracle rel err {rel}"
+    # pin true-f32 matmuls for the oracle comparison: TPU default precision
+    # runs f32 dots as bf16 passes (~1e-3 rel), which is not what this
+    # check is hunting for
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(
+            jax.device_get(jax.jit(oracle)(params, x)), np.float32)
+        outs = {}
+        for name, fn in (("dropless", moe_layer_dropless),
+                         ("capacity", moe_layer_capacity)):
+            got = jax.jit(lambda p, x, fn=fn: fn(p, x, moe)[0])(params, x)
+            got = np.asarray(jax.device_get(got), np.float32)
+            rel = float(
+                np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9))
+            outs[f"{name}_rel"] = rel
+            assert rel < 1e-3, f"moe {name} vs dense oracle rel err {rel}"
 
     # production dtype: dropless vs capacity must agree in bf16 too
     pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
