@@ -1010,3 +1010,343 @@ class CalvinEnv(VectorEnv):
 
     def offload(self):
         self._env.close()
+
+
+# ---------------------------------------------------------------------------
+# Tier-3 named adapters: BEHAVIOR, RoboCasa, Habitat.
+# ---------------------------------------------------------------------------
+
+
+@register_env("behavior")
+class BehaviorEnv(VectorEnv):
+    """BEHAVIOR / OmniGibson mobile-manipulation benchmark (reference
+    envs/behavior/behavior_env.py:497-720 — the 1028.7 -> 41.2 ms/step
+    optimization target, BASELINE.md).
+
+    Mapping conventions replicated from the reference:
+      * triple-camera obs: {"main_images": zed, "wrist_images":
+        stacked [left|right] realsense, "states": proprio [32],
+        "task_descriptions"} (_extract_obs_image :580-603);
+      * activity -> instruction text resolved through a task-description
+        table (behavior_task.jsonl analog, :548-562);
+      * CHUNK-STEP native API: [N, chunk, A] actions; per-chunk rewards
+        ``reward_coef * sim_reward``; chunk term/trunc collapsed to the
+        LAST chunk column after an any() reduction (:685-712);
+      * OmniGibson builds that only report ``info["done"]`` fall back to
+        mapping it into truncations (ignore_terminations) or terminations
+        (:692-701);
+      * partial auto-reset at chunk end.
+    The simulator handle exposes ``reset(env_idx=...)`` and
+    ``chunk_step(actions) -> per-step lists`` on per-env obs dicts (the
+    BehaviorProcessPool slice surface).
+    """
+
+    def __init__(self, num_envs: int, seed: int = 0, *,
+                 activity_name: str = "putting_away_groceries",
+                 task_table: Optional[Dict[str, str]] = None,
+                 max_episode_steps: int = 400, reward_coef: float = 1.0,
+                 ignore_terminations: bool = False,
+                 partition_rank: int = 0, partition_size: int = 1,
+                 env_factory=None):
+        super().__init__(num_envs, seed)
+        if env_factory is None:
+            def env_factory():
+                og = _require(
+                    "omnigibson", "install OmniGibson/BEHAVIOR to use this "
+                    "adapter")
+                return og.make_vector_env(
+                    activity_name, num_envs, seed=seed + partition_rank)
+        self._env = env_factory()
+        self.max_episode_steps = max_episode_steps
+        self._reward_coef = reward_coef
+        self._ignore_term = ignore_terminations
+        self._task = (task_table or {}).get(
+            activity_name, activity_name.replace("_", " "))
+        self.action_dim = int(getattr(self._env, "action_dim", 23))
+        self._elapsed = np.zeros(num_envs, np.int64)
+        self._success_once = np.zeros(num_envs, bool)
+        self._returns = np.zeros(num_envs, np.float32)
+        self._ep_success: list = []
+        self._ep_success_at_end: list = []
+        self._ep_return: list = []
+
+    def _wrap_obs(self, per_env: list) -> Dict[str, np.ndarray]:
+        mains, wrists, states = [], [], []
+        for o in per_env:
+            mains.append(np.asarray(o["zed"], np.uint8))
+            wrists.append(np.stack([
+                np.asarray(o["left_realsense"], np.uint8),
+                np.asarray(o["right_realsense"], np.uint8),
+            ]))
+            states.append(np.asarray(o["proprio"], np.float32))
+        return {
+            "main_images": np.stack(mains),
+            "wrist_images": np.stack(wrists),          # [N, 2, H, W, C]
+            "states": np.stack(states),
+            "task_descriptions": [self._task] * self.num_envs,
+        }
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        raw = self._env.reset(env_idx=None)
+        self._elapsed[:] = 0
+        self._success_once[:] = False
+        self._returns[:] = 0.0
+        return self._wrap_obs(raw)
+
+    def chunk_step(self, chunk_actions: np.ndarray):
+        """[N, chunk, A] -> (obs, chunk_rewards [N, K], chunk_term [N, K],
+        chunk_trunc [N, K], info) with reference chunk semantics."""
+        a = np.asarray(chunk_actions, np.float32)
+        N, K, _ = a.shape
+        (obs_list, rew_list, term_list, trunc_list,
+         info_list) = self._env.chunk_step(a)
+        rewards = self._reward_coef * np.stack(rew_list, 1)      # [N, K]
+        raw_term = np.stack(term_list, 1).astype(bool)
+        raw_trunc = np.stack(trunc_list, 1).astype(bool)
+        self._elapsed += K
+        raw_trunc[:, -1] |= self._elapsed >= self.max_episode_steps
+        info_done = np.stack([
+            np.asarray([bool(i.get("done", False)) for i in infos])
+            for infos in info_list
+        ], 1)
+        past_term = raw_term.any(1)
+        past_trunc = raw_trunc.any(1)
+        if self._ignore_term:
+            past_trunc |= info_done.any(1)
+            past_term = np.zeros_like(past_term)
+        else:
+            past_term |= info_done.any(1)
+        past_done = past_term | past_trunc
+        self._returns += rewards.sum(1)
+        self._success_once |= past_term
+        obs = self._wrap_obs(obs_list[-1])
+        if past_done.any():
+            idx = np.nonzero(past_done)[0]
+            for i in idx:
+                self._ep_success.append(bool(self._success_once[i]))
+                self._ep_success_at_end.append(bool(past_term[i]))
+                self._ep_return.append(float(self._returns[i]))
+            raw = self._env.reset(env_idx=idx.tolist())
+            fresh = self._wrap_obs(raw)
+            for k in ("main_images", "wrist_images", "states"):
+                obs[k][idx] = fresh[k][idx]
+            self._elapsed[idx] = 0
+            self._success_once[idx] = False
+            self._returns[idx] = 0.0
+        # chunk term/trunc collapse to the last column (reference :709-712)
+        chunk_term = np.zeros_like(raw_term)
+        chunk_term[:, -1] = past_term
+        chunk_trunc = np.zeros_like(raw_trunc)
+        chunk_trunc[:, -1] = past_trunc
+        return obs, rewards, chunk_term, chunk_trunc, {"done": past_done}
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        obs, rew, term, trunc, info = self.chunk_step(
+            np.asarray(actions, np.float32)[:, None, :])
+        done = term[:, -1] | trunc[:, -1]
+        return EnvOutput(obs=obs, reward=rew[:, -1], done=done,
+                         terminated=term[:, -1],
+                         info={"success": term[:, -1]})
+
+    metrics = IsaacLabEnv.metrics
+
+    def offload(self):
+        self._env.close()
+
+
+@register_env("robocasa")
+class RoboCasaEnv(VectorEnv):
+    """RoboCasa kitchen tasks (reference envs/robocasa/robocasa_env.py:34).
+
+    Conventions: triple-camera obs flattened to the libero format
+    ({"main_images": left agentview, "wrist_images": eye-in-hand,
+    "extra_images": right agentview, "states", "task_descriptions" from
+    per-env info}, :296-345); sparse ``reward_coef * terminations`` reward
+    (:398); success from info (:391); success_once latching on
+    terminations (:220); elapsed-steps truncation; partial auto-reset."""
+
+    def __init__(self, num_envs: int, seed: int = 0, *,
+                 env_id: str = "PnPCounterToCab",
+                 max_episode_steps: int = 300, reward_coef: float = 1.0,
+                 ignore_terminations: bool = False,
+                 partition_rank: int = 0, partition_size: int = 1,
+                 env_factory=None):
+        super().__init__(num_envs, seed)
+        if env_factory is None:
+            def env_factory():
+                rc = _require(
+                    "robocasa", "install RoboCasa to use this adapter")
+                return rc.make_vector_env(
+                    env_id, num_envs, seed=seed + partition_rank)
+        self._env = env_factory()
+        self.max_episode_steps = max_episode_steps
+        self._reward_coef = reward_coef
+        self._ignore_term = ignore_terminations
+        self.action_dim = int(getattr(self._env, "action_dim", 12))
+        self._elapsed = np.zeros(num_envs, np.int64)
+        self._success_once = np.zeros(num_envs, bool)
+        self._returns = np.zeros(num_envs, np.float32)
+        self._ep_success: list = []
+        self._ep_success_at_end: list = []
+        self._ep_return: list = []
+
+    def _wrap_obs(self, per_env: list, infos: list) -> Dict[str, np.ndarray]:
+        return {
+            "main_images": np.stack([
+                np.asarray(o["robot0_agentview_left_image"], np.uint8)
+                for o in per_env]),
+            "wrist_images": np.stack([
+                np.asarray(o["robot0_eye_in_hand_image"], np.uint8)
+                for o in per_env]),
+            "extra_images": np.stack([
+                np.asarray(o["robot0_agentview_right_image"], np.uint8)
+                for o in per_env]),
+            "states": np.stack([
+                np.asarray(o["state"], np.float32) for o in per_env]),
+            "task_descriptions": [
+                str(i.get("task_description", "")) for i in infos],
+        }
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        raw, infos = self._env.reset(env_idx=None)
+        self._elapsed[:] = 0
+        self._success_once[:] = False
+        self._returns[:] = 0.0
+        return self._wrap_obs(raw, infos)
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        a = np.asarray(actions, np.float32).reshape(
+            self.num_envs, self.action_dim)
+        raw, term, infos = self._env.step(a)
+        term = np.asarray(term).astype(bool).reshape(-1)
+        success = np.asarray(
+            [bool(i.get("success", False)) for i in infos])
+        term = term | success
+        self._elapsed += 1
+        trunc = self._elapsed >= self.max_episode_steps
+        r = self._reward_coef * term.astype(np.float32)
+        self._returns += r
+        self._success_once |= term
+        success_at_end = term.copy()
+        if self._ignore_term:
+            term = np.zeros_like(term)
+        done = term | trunc
+        obs = self._wrap_obs(raw, infos)
+        if done.any():
+            idx = np.nonzero(done)[0]
+            for i in idx:
+                self._ep_success.append(bool(self._success_once[i]))
+                self._ep_success_at_end.append(bool(success_at_end[i]))
+                self._ep_return.append(float(self._returns[i]))
+            raw, infos2 = self._env.reset(env_idx=idx.tolist())
+            fresh = self._wrap_obs(raw, infos2)
+            for k in ("main_images", "wrist_images", "extra_images",
+                      "states"):
+                obs[k][idx] = fresh[k][idx]
+            self._elapsed[idx] = 0
+            self._success_once[idx] = False
+            self._returns[idx] = 0.0
+        return EnvOutput(obs=obs, reward=r, done=done, terminated=term,
+                         info={"success": success_at_end})
+
+    metrics = IsaacLabEnv.metrics
+
+    def offload(self):
+        self._env.close()
+
+
+@register_env("habitat")
+class HabitatEnv(VectorEnv):
+    """Habitat navigation (reference envs/habitat/habitat_env.py:40).
+
+    Conventions: DISCRETE action vocabulary where the agent-issued "stop"
+    terminates the episode but is replaced by "no_op" before stepping the
+    simulator (post-stop habitat envs cannot step until reset, :152-158);
+    no_op actions do not advance elapsed steps (:147-149); sparse
+    ``reward_coef * terminations`` reward with optional per-step diff;
+    obs = rendered frames + task_descriptions; index-based partial reset
+    merging fresh rows into the held raw-obs set (:179-198)."""
+
+    discrete = True
+    ACTIONS = ("stop", "move_forward", "turn_left", "turn_right", "no_op")
+
+    def __init__(self, num_envs: int, seed: int = 0, *,
+                 task: str = "objectnav",
+                 max_episode_steps: int = 500, reward_coef: float = 1.0,
+                 use_rel_reward: bool = False,
+                 partition_rank: int = 0, partition_size: int = 1,
+                 env_factory=None):
+        super().__init__(num_envs, seed)
+        if env_factory is None:
+            def env_factory():
+                hab = _require(
+                    "habitat", "install habitat-lab to use this adapter")
+                return hab.make_vector_env(
+                    task, num_envs, seed=seed + partition_rank)
+        self._env = env_factory()
+        self.max_episode_steps = max_episode_steps
+        self._reward_coef = reward_coef
+        self._use_rel = use_rel_reward
+        self.action_dim = 1
+        self._elapsed = np.zeros(num_envs, np.int64)
+        self._prev_reward = np.zeros(num_envs, np.float32)
+        self._returns = np.zeros(num_envs, np.float32)
+        self._ep_success: list = []
+        self._ep_success_at_end: list = []
+        self._ep_return: list = []
+
+    def _wrap_obs(self, per_env: list) -> Dict[str, np.ndarray]:
+        return {
+            "main_images": np.stack([
+                np.asarray(o["rgb"], np.uint8) for o in per_env]),
+            "task_descriptions": [
+                str(o.get("instruction", "")) for o in per_env],
+        }
+
+    def reset(self) -> Dict[str, np.ndarray]:
+        raw = self._env.reset(env_idx=None)
+        self._raw = list(raw)
+        self._elapsed[:] = 0
+        self._prev_reward[:] = 0.0
+        self._returns[:] = 0.0
+        return self._wrap_obs(self._raw)
+
+    def step(self, actions: np.ndarray) -> EnvOutput:
+        ids = np.asarray(actions).reshape(-1).astype(int)
+        names = np.asarray([self.ACTIONS[i] for i in ids], object)
+        is_stop = names == "stop"
+        is_noop = names == "no_op"
+        names[is_stop] = "no_op"           # reference :155-156
+        self._elapsed += ~is_noop & ~is_stop
+        raw, term = self._env.step(names.tolist())
+        term = np.asarray(term).astype(bool) | is_stop
+        self._raw = list(raw)
+        trunc = self._elapsed >= self.max_episode_steps
+        r = self._reward_coef * term.astype(np.float32)
+        diff = r - self._prev_reward
+        self._prev_reward = r.copy()
+        if self._use_rel:
+            r = diff
+        self._returns += r
+        done = term | trunc
+        obs = self._wrap_obs(self._raw)
+        if done.any():
+            idx = np.nonzero(done)[0]
+            for i in idx:
+                self._ep_success.append(bool(term[i]))
+                self._ep_success_at_end.append(bool(term[i]))
+                self._ep_return.append(float(self._returns[i]))
+            fresh = self._env.reset(env_idx=idx.tolist())
+            for j, i in enumerate(idx):   # merge rows (reference :190-196)
+                self._raw[i] = fresh[j]
+            obs = self._wrap_obs(self._raw)
+            self._elapsed[idx] = 0
+            self._prev_reward[idx] = 0.0
+            self._returns[idx] = 0.0
+        return EnvOutput(obs=obs, reward=r, done=done, terminated=term,
+                         info={"success": term})
+
+    metrics = IsaacLabEnv.metrics
+
+    def offload(self):
+        self._env.close()

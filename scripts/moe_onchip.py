@@ -39,19 +39,42 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def main():
+def run_parity():
     import jax
-    import jax.numpy as jnp
 
-    assert jax.default_backend() == "tpu", "run on the TPU host"
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "tpu"))
     from test_onchip_parity import run_all
 
     gate = run_all(checks={"moe_layer"})
     emit(phase="parity", **gate)
     if not all(v["ok"] for v in gate.values()):
-        emit(phase="abort", reason="moe parity failed")
+        raise SystemExit(1)
+
+
+def main():
+    """Phase-per-process orchestration (deferred-execution allocators hold
+    phase residue; vla_fullscale.py lesson): parity / train / decode run in
+    fresh processes."""
+    import subprocess
+
+    which = sys.argv[1] if len(sys.argv) > 1 else None
+    if which is None:
+        for ph in ("parity", "train", "decode"):
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), ph]).returncode
+            if rc != 0:
+                emit(phase="abort", reason=f"{ph} failed rc={rc}")
+                return
+        emit(phase="done")
         return
+    import jax
+
+    assert jax.default_backend() == "tpu", "run on the TPU host"
+    if which == "parity":
+        run_parity()
+        return
+
+    import jax.numpy as jnp
 
     from rlinf_tpu.models.llm import (
         LLMConfig, SamplingParams, generate, init_params,
@@ -77,6 +100,10 @@ def main():
     rng = jax.random.PRNGKey(0)
     r = np.random.default_rng(0)
 
+    if which == "decode":
+        run_decode(cfg, chip, rng, r, jnp, jax)
+        return
+
     # ---------------- train MFU ----------------
     B, T = 32, 256
     tx = make_optimizer(OptimizerConfig(lr=1e-6, name="adafactor"))
@@ -89,12 +116,15 @@ def main():
         "old_logprobs": jnp.asarray(r.normal(size=(B, T)) * 0.1, jnp.float32),
         "advantages": jnp.asarray(r.normal(size=(B, T)), jnp.float32),
     }
+    ok = False
     for variant, kw in (
+        ("remat", dict(num_microbatches=1, remat=True)),
         ("mb4_noremat", dict(num_microbatches=4, remat=False,
                              unroll_layers=True,
                              grad_acc_dtype=jnp.bfloat16)),
-        ("remat", dict(num_microbatches=1, remat=True)),
     ):
+        if ok:
+            break  # one good MFU number per process; residue-free
         try:
             step = make_policy_train_step(
                 cfg, PolicyLossConfig(logprob_chunk_size=256), tx, **kw)
@@ -109,11 +139,18 @@ def main():
             emit(phase="train", variant=variant, time_s=round(t, 4),
                  mfu=round(F.train_mfu(cfg, chip, B, T, t), 4),
                  loss_finite=bool(np.isfinite(sync(m))))
+            ok = True
             del s2
         except Exception as e:
             emit(phase="train", variant=variant,
                  error=f"{type(e).__name__}: {str(e)[:200]}")
     del state
+    return
+
+
+def run_decode(cfg, chip, rng, r, jnp, jax):
+    from rlinf_tpu.models.llm import SamplingParams, generate, init_params
+    from rlinf_tpu.utils import flops as F
 
     # ---------------- decode ----------------
     params = init_params(cfg, rng)
@@ -138,7 +175,6 @@ def main():
            + sum(F.decode_sol_time(cfg, chip, Bg, P + k) for k in range(N)))
     emit(phase="decode", time_s=round(t, 4),
          tokens_per_s=round(Bg * N / t, 1), vs_sol=round(sol / t, 4))
-    emit(phase="done")
 
 
 if __name__ == "__main__":

@@ -407,3 +407,138 @@ class FakeCalvinVectorEnv:
 
     def close(self):
         self.closed = True
+
+
+# ---------------------------------------------------------------------------
+# BEHAVIOR (tier 3): chunk-step process-pool slice surface; info-done
+# fallback builds leave term/trunc False and set info["done"].
+# ---------------------------------------------------------------------------
+
+
+class FakeBehaviorPool:
+    def __init__(self, num_envs=4, success_at=4, info_done_only=False):
+        self.num_envs = num_envs
+        self.action_dim = 23
+        self._t = np.zeros(num_envs, np.int64)
+        self._success_at = success_at
+        self._info_done_only = info_done_only
+        self.reset_calls = []
+        self.closed = False
+
+    def _obs(self):
+        return [{
+            "zed": np.zeros((8, 8, 3), np.uint8),
+            "left_realsense": np.ones((8, 8, 3), np.uint8),
+            "right_realsense": np.ones((8, 8, 3), np.uint8) * 2,
+            "proprio": np.full((32,), float(self._t[i]), np.float32),
+        } for i in range(self.num_envs)]
+
+    def reset(self, env_idx=None):
+        self.reset_calls.append(env_idx)
+        if env_idx is None:
+            self._t[:] = 0
+        else:
+            self._t[np.asarray(env_idx)] = 0
+        return self._obs()
+
+    def chunk_step(self, actions):
+        N, K, _ = actions.shape
+        obs_l, rew_l, term_l, trunc_l, info_l = [], [], [], [], []
+        for k in range(K):
+            self._t += 1
+            done = self._t >= self._success_at
+            rew_l.append(np.where(done, 1.0, 0.05).astype(np.float32))
+            if self._info_done_only:
+                term_l.append(np.zeros(N, bool))
+                info_l.append([{"done": bool(d)} for d in done])
+            else:
+                term_l.append(done.copy())
+                info_l.append([{} for _ in range(N)])
+            trunc_l.append(np.zeros(N, bool))
+            obs_l.append(self._obs())
+        return obs_l, rew_l, term_l, trunc_l, info_l
+
+    def close(self):
+        self.closed = True
+
+
+# ---------------------------------------------------------------------------
+# RoboCasa (tier 3): per-env obs dicts with 3 cameras + per-env info task
+# descriptions; success via info at step `success_at`.
+# ---------------------------------------------------------------------------
+
+
+class FakeRoboCasaEnv:
+    def __init__(self, num_envs=4, success_at=3):
+        self.num_envs = num_envs
+        self.action_dim = 12
+        self._t = np.zeros(num_envs, np.int64)
+        self._success_at = success_at
+        self.closed = False
+
+    def _obs(self):
+        return [{
+            "robot0_agentview_left_image": np.zeros((8, 8, 3), np.uint8),
+            "robot0_eye_in_hand_image": np.ones((8, 8, 3), np.uint8),
+            "robot0_agentview_right_image": np.ones((8, 8, 3), np.uint8) * 2,
+            "state": np.full((20,), float(self._t[i]), np.float32),
+        } for i in range(self.num_envs)]
+
+    def _infos(self):
+        return [{"task_description": "pick the bowl",
+                 "success": bool(self._t[i] >= self._success_at)}
+                for i in range(self.num_envs)]
+
+    def reset(self, env_idx=None):
+        if env_idx is None:
+            self._t[:] = 0
+        else:
+            self._t[np.asarray(env_idx)] = 0
+        return self._obs(), self._infos()
+
+    def step(self, actions):
+        self._t += 1
+        term = np.zeros(self.num_envs, bool)
+        return self._obs(), term, self._infos()
+
+    def close(self):
+        self.closed = True
+
+
+# ---------------------------------------------------------------------------
+# Habitat (tier 3): discrete string actions; sim ends an episode at step 5.
+# ---------------------------------------------------------------------------
+
+
+class FakeHabitatEnv:
+    def __init__(self, num_envs=4, end_at=5):
+        self.num_envs = num_envs
+        self._t = np.zeros(num_envs, np.int64)
+        self._end_at = end_at
+        self.seen_actions: list = []
+        self.closed = False
+
+    def _obs(self):
+        return [{
+            "rgb": np.zeros((8, 8, 3), np.uint8),
+            "instruction": "find the chair",
+        } for _ in range(self.num_envs)]
+
+    def reset(self, env_idx=None):
+        if env_idx is None:
+            self._t[:] = 0
+            return self._obs()
+        self._t[np.asarray(env_idx)] = 0
+        return [self._obs()[0] for _ in env_idx]
+
+    def step(self, action_names):
+        self.seen_actions.append(list(action_names))
+        assert "stop" not in action_names, "stop must be no_op-substituted"
+        for i, a in enumerate(action_names):
+            if a != "no_op":
+                self._t[i] += 1
+        term = self._t >= self._end_at
+        return self._obs(), term
+
+    def close(self):
+        self.closed = True

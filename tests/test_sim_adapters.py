@@ -387,3 +387,104 @@ def test_calvin_worker_partition_disjoint():
     e0, e1 = mk(0), mk(1)
     assert not set(e0._state_ids.tolist()) & set(e1._state_ids.tolist())
     assert len(e0._state_ids) == 8
+
+
+# ---------------------------------------------------------------------------
+# BEHAVIOR (tier 3)
+# ---------------------------------------------------------------------------
+
+
+def test_behavior_chunk_step_conventions():
+    from fake_sims import FakeBehaviorPool
+
+    from rlinf_tpu.envs.adapters import BehaviorEnv
+
+    fake = FakeBehaviorPool(num_envs=4, success_at=4)
+    env = BehaviorEnv(4, env_factory=lambda: fake, max_episode_steps=50,
+                      reward_coef=2.0)
+    obs = env.reset()
+    assert obs["main_images"].shape == (4, 8, 8, 3)
+    assert obs["wrist_images"].shape == (4, 2, 8, 8, 3)
+    assert obs["states"].shape == (4, 32)
+    assert obs["task_descriptions"][0] == "putting away groceries"
+
+    a = np.zeros((4, 3, 23), np.float32)   # chunk of 3
+    obs, rew, term, trunc, info = env.chunk_step(a)
+    assert rew.shape == (4, 3)
+    np.testing.assert_allclose(rew[:, 0], 0.1)   # 2.0 * 0.05 shaping
+    assert not term.any()
+    obs, rew, term, trunc, info = env.chunk_step(a)  # t reaches 4 mid-chunk
+    # term collapsed to the LAST chunk column only
+    assert term[:, :-1].sum() == 0 and term[:, -1].all()
+    m = env.metrics()
+    assert m["env/success_once"] == 1.0
+
+
+def test_behavior_info_done_fallback():
+    from fake_sims import FakeBehaviorPool
+
+    from rlinf_tpu.envs.adapters import BehaviorEnv
+
+    fake = FakeBehaviorPool(num_envs=2, success_at=2, info_done_only=True)
+    env = BehaviorEnv(2, env_factory=lambda: fake, ignore_terminations=True)
+    env.reset()
+    a = np.zeros((2, 2, 23), np.float32)
+    obs, rew, term, trunc, info = env.chunk_step(a)
+    # info-done maps into truncations under ignore_terminations
+    assert not term.any() and trunc[:, -1].all()
+
+
+# ---------------------------------------------------------------------------
+# RoboCasa (tier 3)
+# ---------------------------------------------------------------------------
+
+
+def test_robocasa_obs_and_sparse_reward():
+    from fake_sims import FakeRoboCasaEnv
+
+    from rlinf_tpu.envs.adapters import RoboCasaEnv
+
+    fake = FakeRoboCasaEnv(num_envs=4, success_at=3)
+    env = RoboCasaEnv(4, env_factory=lambda: fake, max_episode_steps=20)
+    obs = env.reset()
+    assert set(obs) >= {"main_images", "wrist_images", "extra_images",
+                        "states", "task_descriptions"}
+    assert obs["task_descriptions"][0] == "pick the bowl"
+    a = np.zeros((4, 12), np.float32)
+    out = env.step(a)
+    np.testing.assert_allclose(out.reward, 0.0)
+    env.step(a)
+    out = env.step(a)   # success via info at t=3
+    np.testing.assert_allclose(out.reward, 1.0)
+    assert out.done.all() and out.info["success"].all()
+    assert env.metrics()["env/success_once"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Habitat (tier 3)
+# ---------------------------------------------------------------------------
+
+
+def test_habitat_stop_substitution_and_noop_steps():
+    from fake_sims import FakeHabitatEnv
+
+    from rlinf_tpu.envs.adapters import HabitatEnv
+
+    fake = FakeHabitatEnv(num_envs=3, end_at=5)
+    env = HabitatEnv(3, env_factory=lambda: fake, max_episode_steps=20)
+    obs = env.reset()
+    assert obs["main_images"].shape == (3, 8, 8, 3)
+    assert obs["task_descriptions"][0] == "find the chair"
+
+    fwd = env.ACTIONS.index("move_forward")
+    noop = env.ACTIONS.index("no_op")
+    stop = env.ACTIONS.index("stop")
+    # no_op does not advance elapsed steps
+    env.step(np.array([noop, fwd, fwd]))
+    np.testing.assert_array_equal(env._elapsed, [0, 1, 1])
+    # stop: terminates THAT env, sim receives no_op (fake asserts)
+    out = env.step(np.array([stop, fwd, fwd]))
+    assert out.terminated[0] and not out.terminated[1:].any()
+    np.testing.assert_allclose(out.reward, [1.0, 0.0, 0.0])
+    # stopped env auto-reset; others continue
+    np.testing.assert_array_equal(env._elapsed, [0, 2, 2])
