@@ -1350,3 +1350,22 @@ class HabitatEnv(VectorEnv):
 
     def offload(self):
         self._env.close()
+
+
+# ---------------------------------------------------------------------------
+# Registry aliases for the remaining reference env names
+# (reference envs/__init__.py SupportedEnvType). Each maps onto the adapter
+# whose API class it shares; heavyweight per-sim conventions beyond the
+# shared surface stay with their primary adapters above.
+# ---------------------------------------------------------------------------
+
+# robocasa365: the 365-task RoboCasa release; same robosuite obs surface
+register_env("robocasa365")(RoboCasaEnv)
+# maniskill_rlt: the RLT-recipe variant runs the same ManiSkill3 batched
+# API (the RLT specifics live in algorithms/rlt.py routing, not the env)
+register_env("maniskill_rlt")(ManiSkillEnv)
+# genesis / roboverse / embodichain expose gymnasium vector APIs -> the
+# generic adapter with their package ids
+register_env("genesis")(GymVectorEnv)
+register_env("roboverse")(GymVectorEnv)
+register_env("embodichain")(GymVectorEnv)
