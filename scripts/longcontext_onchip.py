@@ -157,7 +157,7 @@ def main():
     from rlinf_tpu.data.dynamic_batching import pack_microbatches
 
     r = np.random.default_rng(7)
-    B_mix, T_mix = 16, 8192
+    B_mix, T_mix = 8, 8192
     lengths = r.integers(1024, 8192, B_mix)
     np_batch = {
         "input_ids": r.integers(0, cfg.vocab_size, (B_mix, T_mix)).astype(np.int32),
@@ -167,7 +167,9 @@ def main():
         "old_logprobs": (r.normal(size=(B_mix, T_mix)) * 0.1).astype(np.float32),
         "advantages": r.normal(size=(B_mix, T_mix)).astype(np.float32),
     }
-    mbs = pack_microbatches(np_batch, lengths, 16384)
+    # coarse seq bucketing bounds the distinct (rows, T) shapes — each is
+    # a separate ~minutes-long tunnel compile
+    mbs = pack_microbatches(np_batch, lengths, 16384, seq_bucket=2048)
     global_valid = jnp.asarray(float(np_batch["loss_mask"].sum()), jnp.float32)
 
     def one_update():

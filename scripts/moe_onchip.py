@@ -59,9 +59,21 @@ def main():
 
     which = sys.argv[1] if len(sys.argv) > 1 else None
     if which is None:
+        import time as _time
+
         for ph in ("parity", "train", "decode"):
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), ph]).returncode
+            # settle gap: a just-exited client's chip claim lingers on the
+            # axon runtime for tens of seconds; starting the next phase too
+            # early intermittently fails allocations (InvalidArgument)
+            _time.sleep(45)
+            for attempt in range(3):
+                rc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), ph]
+                ).returncode
+                if rc == 0:
+                    break
+                emit(phase="retry", which=ph, attempt=attempt + 1)
+                _time.sleep(90)
             if rc != 0:
                 emit(phase="abort", reason=f"{ph} failed rc={rc}")
                 return
@@ -105,7 +117,10 @@ def main():
         return
 
     # ---------------- train MFU ----------------
-    B, T = 32, 256
+    # B=16: buffer donation is reported unusable on this backend (r4 verify
+    # notes), so args+outputs (2 x 4.07GB state) stay live alongside the
+    # backward's ~6.4GB temps — B=32 tips the 16GB chip over at L=24.
+    B, T = 16, 256
     tx = make_optimizer(OptimizerConfig(lr=1e-6, name="adafactor"))
     state = create_train_state(lambda rg: init_params(cfg, rg), tx, rng)
     batch = {
@@ -145,6 +160,8 @@ def main():
             emit(phase="train", variant=variant,
                  error=f"{type(e).__name__}: {str(e)[:200]}")
     del state
+    if not ok:
+        raise SystemExit(1)
     return
 
 
