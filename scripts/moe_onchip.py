@@ -143,13 +143,17 @@ def main():
         try:
             step = make_policy_train_step(
                 cfg, PolicyLossConfig(logprob_chunk_size=256), tx, **kw)
+            # CHAIN the state and sync each iteration: donation is unusable
+            # on this backend and frees are deferred, so a no-sync loop
+            # from the same input state keeps THREE ~4GB state copies live
+            # at once and OOMs (surfacing as InvalidArgument)
             s2, m = step(state, batch)
             sync(m)
             t0 = time.perf_counter()
             iters = 3
             for _ in range(iters):
-                s2, m = step(state, batch)
-            sync(m)
+                s2, m = step(s2, batch)
+                sync(m)
             t = (time.perf_counter() - t0) / iters
             emit(phase="train", variant=variant, time_s=round(t, 4),
                  mfu=round(F.train_mfu(cfg, chip, B, T, t), 4),
