@@ -53,6 +53,8 @@ def causal_attention(
       scale: defaults to D ** -0.5.
     Returns: [B, Sq, H, D] in q.dtype.
     """
+    if impl == "flash":      # alias for the in-tree flash kernel
+        impl = "pallas"
     if impl == "pallas":
         from rlinf_tpu.ops.pallas.flash_attention import flash_attention
 
@@ -83,6 +85,12 @@ def causal_attention(
                 scale=scale,
             )
         impl = "xla"
+    if impl != "xla":
+        # an unknown impl silently falling through to the dense O(S^2)
+        # materialization is a 24GB footgun at long context — fail loudly
+        raise ValueError(
+            f"unknown attention impl {impl!r}; use xla | pallas | flash | "
+            "ring")
 
     B, Sq, H, D = q.shape
     Sk = k.shape[1]

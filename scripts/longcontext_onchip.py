@@ -97,7 +97,7 @@ def main():
     short = make_policy_train_step(
         cfg, loss_cfg, tx, num_microbatches=1, remat=True, attn_impl="xla")
     long_ = make_policy_train_step(
-        cfg, loss_cfg, tx, num_microbatches=1, remat=True, attn_impl="flash")
+        cfg, loss_cfg, tx, num_microbatches=1, remat=True, attn_impl="pallas")
     b256 = _batch(cfg, B, 256, rng_seed=3)
     b8k = _batch(cfg, B, 8192, valid_to=256, rng_seed=3)
     # same data in the valid region
@@ -131,7 +131,7 @@ def main():
         for name, kw in variants:
             try:
                 step = make_policy_train_step(
-                    cfg, loss_cfg, tx, attn_impl="flash", **kw)
+                    cfg, loss_cfg, tx, attn_impl="pallas", **kw)
                 s2, m = step(state, bb)
                 sync(m)
                 t0 = time.perf_counter()
@@ -153,7 +153,7 @@ def main():
 
     # ---------------- 3. BFD token-budget microbatching ------------------
     grad_step, apply_step, zero_grads = make_policy_grad_and_apply(
-        cfg, loss_cfg, tx, remat=True, attn_impl="flash")
+        cfg, loss_cfg, tx, remat=True, attn_impl="pallas")
     from rlinf_tpu.data.dynamic_batching import pack_microbatches
 
     r = np.random.default_rng(7)
@@ -206,7 +206,7 @@ def main():
     mask = jnp.ones((Bg, P), bool)
     sp = SamplingParams(max_new_tokens=N, temperature=1.0, eos_token_id=-1)
     gen = jax.jit(lambda p, qp, rg, i, m: generate(
-        p, cfg, rg, i, m, sp, attn_impl="flash", decode_params=qp,
+        p, cfg, rg, i, m, sp, attn_impl="pallas", decode_params=qp,
         decode_attn_impl="pallas", kv_quant="int8"))
     out = gen(params, qparams, rng, ids, mask)
     sync(out.response_ids)
