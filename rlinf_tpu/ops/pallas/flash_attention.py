@@ -171,6 +171,11 @@ def _fwd_call(q, k, v, pos_q, pos_kv, valid, scale, block_q, block_k):
             jax.ShapeDtypeStruct((B, H, Sq, 1), jnp.float32),
         ],
         interpret=_interpret(),
+        # long-context headroom: at Sk=8192 the bwd dk/dv call's two f32
+        # [Sk, D] output slabs alone fill the default 16MB scoped-vmem
+        # budget once double-buffered
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(hi, q, k, v, pos_q, pos_kv, valid)
 
 
@@ -315,6 +320,11 @@ def _flash_bwd(scale, block_q, block_k, res, do):
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), q.dtype),
         interpret=_interpret(),
+        # long-context headroom: at Sk=8192 the bwd dk/dv call's two f32
+        # [Sk, D] output slabs alone fill the default 16MB scoped-vmem
+        # budget once double-buffered
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(hi, q, k, v, pos_q, pos_kv, valid, do, lse, delta)
 
     dkv_specs = [
@@ -345,6 +355,11 @@ def _flash_bwd(scale, block_q, block_k, res, do):
             jax.ShapeDtypeStruct((B, H, Sk, D), jnp.float32),
         ],
         interpret=_interpret(),
+        # long-context headroom: at Sk=8192 the bwd dk/dv call's two f32
+        # [Sk, D] output slabs alone fill the default 16MB scoped-vmem
+        # budget once double-buffered
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(lo, q, k, v, pos_q, pos_kv, valid, do, lse, delta)
 
     dk = dk_h.reshape(B, K, G, Sk, D).sum(axis=2).astype(k.dtype)
