@@ -93,11 +93,12 @@ def main():
     loss_cfg = PolicyLossConfig(logprob_chunk_size=256)
 
     # ---------------- 1. parity long-T vs T=256 path --------------------
-    B = 8
+    B = 4
     short = make_policy_train_step(
         cfg, loss_cfg, tx, num_microbatches=1, remat=True, attn_impl="xla")
     long_ = make_policy_train_step(
-        cfg, loss_cfg, tx, num_microbatches=1, remat=True, attn_impl="pallas")
+        cfg, loss_cfg, tx, num_microbatches=2, remat=True,
+        attn_impl="pallas")
     b256 = _batch(cfg, B, 256, rng_seed=3)
     b8k = _batch(cfg, B, 8192, valid_to=256, rng_seed=3)
     # same data in the valid region
@@ -113,18 +114,14 @@ def main():
          parity_ok=bool(lrel < 2e-2 and grel < 5e-2))
 
     # ---------------- 2. train MFU at 8k / 16k --------------------------
+    # full remat is the long-context memory regime: "dots" keeps ~0.8GB of
+    # matmul activations PER LAYER at 16k-token microbatches (26GB program)
     for B_l, T_l, variants in (
         (8, 8192, (
-            ("mb4_dots", dict(num_microbatches=4, remat="dots",
-                              unroll_layers=True,
-                              grad_acc_dtype=jnp.bfloat16)),
-            ("remat", dict(num_microbatches=1, remat=True)),
+            ("remat_mb2", dict(num_microbatches=2, remat=True)),
         )),
         (4, 16384, (
-            ("mb4_dots", dict(num_microbatches=4, remat="dots",
-                              unroll_layers=True,
-                              grad_acc_dtype=jnp.bfloat16)),
-            ("remat", dict(num_microbatches=2, remat=True)),
+            ("remat_mb4", dict(num_microbatches=4, remat=True)),
         )),
     ):
         bb = _batch(cfg, B_l, T_l, rng_seed=1)
