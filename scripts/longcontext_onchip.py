@@ -104,9 +104,12 @@ def main():
     # same data in the valid region
     for k in b256:
         b8k[k] = b8k[k].at[:, :256].set(b256[k]) if b8k[k].ndim == 2 else b8k[k]
-    _, m_s = short(state, b256)
+    # train steps DONATE their input state; give the short path a copy so
+    # both paths grade the same params
+    state_copy = jax.tree_util.tree_map(jnp.copy, state)
+    _, m_s = short(state_copy, b256)
     loss_s, gn_s = sync(m_s["actor/loss"]), sync(m_s["actor/grad_norm"])
-    _, m_l = long_(state, b8k)
+    state, m_l = long_(state, b8k)
     loss_l, gn_l = sync(m_l["actor/loss"]), sync(m_l["actor/grad_norm"])
     lrel = abs(loss_l - loss_s) / max(abs(loss_s), 1e-9)
     grel = abs(gn_l - gn_s) / max(abs(gn_s), 1e-9)
@@ -129,20 +132,22 @@ def main():
             try:
                 step = make_policy_train_step(
                     cfg, loss_cfg, tx, attn_impl="pallas", **kw)
-                s2, m = step(state, bb)
+                # steps DONATE their input: chain the state and sync each
+                # iteration (deferred frees otherwise stack 3 state copies)
+                state, m = step(state, bb)
                 sync(m)
                 t0 = time.perf_counter()
                 iters = 3
                 for _ in range(iters):
-                    s2, m = step(state, bb)
-                sync(m)
+                    state, m = step(state, bb)
+                    sync(m)
                 t = (time.perf_counter() - t0) / iters
                 mfu = F.train_mfu(cfg, chip, B_l, T_l, t)
                 emit(**{f"train_T{T_l}_{name}_s": round(t, 3),
                         f"train_T{T_l}_{name}_mfu": round(mfu, 4),
                         f"train_T{T_l}_{name}_tok_s":
                             round(B_l * T_l / t, 1)})
-                del s2, m
+                del m
                 break  # first fitting variant is the production config
             except Exception as e:
                 emit(**{f"train_T{T_l}_{name}_error":
@@ -177,21 +182,25 @@ def main():
         st, gn = apply_step(state, grads)
         return st, gn
 
-    st, gn = one_update()  # compile all shape buckets
-    sync(gn)
-    t0 = time.perf_counter()
-    iters = 2
-    for _ in range(iters):
-        st, gn = one_update()
-    sync(gn)
-    t = (time.perf_counter() - t0) / iters
-    total_tokens = int(lengths.sum())
-    emit(bfd_n_microbatches=len(mbs),
-         bfd_valid_tokens=total_tokens,
-         bfd_update_s=round(t, 3),
-         bfd_tok_s=round(total_tokens / t, 1),
-         bfd_gradnorm_finite=bool(np.isfinite(sync(gn))))
-    del st, gn, grad_step, apply_step
+    try:
+        st, gn = one_update()  # compile all shape buckets
+        sync(gn)
+        t0 = time.perf_counter()
+        iters = 2
+        for _ in range(iters):
+            st, gn = one_update()
+            sync(gn)
+        t = (time.perf_counter() - t0) / iters
+        total_tokens = int(lengths.sum())
+        emit(bfd_n_microbatches=len(mbs),
+             bfd_valid_tokens=total_tokens,
+             bfd_update_s=round(t, 3),
+             bfd_tok_s=round(total_tokens / t, 1),
+             bfd_gradnorm_finite=bool(np.isfinite(sync(gn))))
+        del st, gn
+    except Exception as e:
+        emit(bfd_error=f"{type(e).__name__}: {str(e)[:160]}")
+    del grad_step, apply_step
 
     # ---------------- 4. long rollout ------------------------------------
     params = state.params
