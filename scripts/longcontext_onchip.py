@@ -109,6 +109,10 @@ def main():
     state_copy = jax.tree_util.tree_map(jnp.copy, state)
     _, m_s = short(state_copy, b256)
     loss_s, gn_s = sync(m_s["actor/loss"]), sync(m_s["actor/grad_norm"])
+    # donation is unusable on this backend: the copy survives the short
+    # step — drop it (and flush deferred frees) before the long step
+    del state_copy, m_s
+    sync(jnp.zeros(()))
     state, m_l = long_(state, b8k)
     loss_l, gn_l = sync(m_l["actor/loss"]), sync(m_l["actor/grad_norm"])
     lrel = abs(loss_l - loss_s) / max(abs(loss_s), 1e-9)
