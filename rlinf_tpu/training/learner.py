@@ -267,6 +267,7 @@ def make_policy_grad_and_apply(
     *,
     remat: bool = True,
     attn_impl: str = "xla",
+    acc_dtype=None,
 ):
     """Split train step for DYNAMIC microbatching: ``grad_step`` is jitted
     per microbatch shape bucket (accumulating into a grads pytree normalized
@@ -289,7 +290,7 @@ def make_policy_grad_and_apply(
             params, mb, global_valid_tokens
         )
         acc_grads = jax.tree_util.tree_map(
-            lambda a, g: a + g.astype(jnp.float32), acc_grads, grads
+            lambda a, g: a + g.astype(a.dtype), acc_grads, grads
         )
         return acc_grads, loss, metrics
 
@@ -304,8 +305,10 @@ def make_policy_grad_and_apply(
         return TrainState(state.step + 1, new_params, new_opt), grad_norm
 
     def zero_grads(params):
+        # acc_dtype=bf16 halves the accumulator's HBM residency — at the
+        # 1.5B a f32 zero tree alone is 6.2GB (the long-context BFD OOM)
         return jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
+            lambda p: jnp.zeros(p.shape, acc_dtype or jnp.float32), params
         )
 
     return grad_step, apply_step, zero_grads

@@ -162,7 +162,8 @@ def main():
 
     # ---------------- 3. BFD token-budget microbatching ------------------
     grad_step, apply_step, zero_grads = make_policy_grad_and_apply(
-        cfg, loss_cfg, tx, remat=True, attn_impl="pallas")
+        cfg, loss_cfg, tx, remat=True, attn_impl="pallas",
+        acc_dtype=jnp.bfloat16)
     from rlinf_tpu.data.dynamic_batching import pack_microbatches
 
     r = np.random.default_rng(7)
