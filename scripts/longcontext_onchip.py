@@ -161,6 +161,12 @@ def main():
                         f"{type(e).__name__}: {str(e)[:160]}"})
 
     # ---------------- 3. BFD token-budget microbatching ------------------
+    # RLINF_LC_SKIP_BFD=1 skips: the grad-accumulate/apply split holds TWO
+    # full states (no donation on this backend) + the accumulator + long-T
+    # backward transients — one v5e cannot hold all four at the 1.5B; the
+    # partitioner + global-token-count equivalence are CPU-proven
+    # (tests/test_learner_microbatch.py, tests/test_misc_components.py)
+    skip_bfd = os.environ.get("RLINF_LC_SKIP_BFD") == "1"
     grad_step, apply_step, zero_grads = make_policy_grad_and_apply(
         cfg, loss_cfg, tx, remat=True, attn_impl="pallas",
         acc_dtype=jnp.bfloat16)
@@ -191,6 +197,8 @@ def main():
         return st, gn
 
     try:
+        if skip_bfd:
+            raise RuntimeError("skipped (RLINF_LC_SKIP_BFD=1)")
         st, gn = one_update()  # compile all shape buckets
         sync(gn)
         t0 = time.perf_counter()
@@ -222,21 +230,25 @@ def main():
     gen = jax.jit(lambda p, qp, rg, i, m: generate(
         p, cfg, rg, i, m, sp, attn_impl="pallas", decode_params=qp,
         decode_attn_impl="pallas", kv_quant="int8"))
-    out = gen(params, qparams, rng, ids, mask)
-    sync(out.response_ids)
-    out = gen(params, qparams, jax.random.fold_in(rng, 1), ids, mask)
-    sync(out.response_ids)
-    t0 = time.perf_counter()
-    iters = 2
-    for i in range(iters):
-        out = gen(params, qparams, jax.random.fold_in(rng, 5 + i), ids, mask)
-    sync(out.response_ids)
-    t = (time.perf_counter() - t0) / iters
-    sol = (F.prefill_flops(cfg, Bg, P) / chip.bf16_flops + sum(
-        F.decode_sol_time(cfg, chip, Bg, P + k) for k in range(N)))
-    emit(rollout_S8192_s=round(t, 3),
-         rollout_S8192_tok_s=round(Bg * N / t, 1),
-         rollout_S8192_vs_sol=round(sol / t, 4))
+    try:
+        out = gen(params, qparams, rng, ids, mask)
+        sync(out.response_ids)
+        out = gen(params, qparams, jax.random.fold_in(rng, 1), ids, mask)
+        sync(out.response_ids)
+        t0 = time.perf_counter()
+        iters = 2
+        for i in range(iters):
+            out = gen(params, qparams, jax.random.fold_in(rng, 5 + i), ids,
+                      mask)
+            sync(out.response_ids)
+        t = (time.perf_counter() - t0) / iters
+        sol = (F.prefill_flops(cfg, Bg, P) / chip.bf16_flops + sum(
+            F.decode_sol_time(cfg, chip, Bg, P + k) for k in range(N)))
+        emit(rollout_S8192_s=round(t, 3),
+             rollout_S8192_tok_s=round(Bg * N / t, 1),
+             rollout_S8192_vs_sol=round(sol / t, 4))
+    except Exception as e:
+        emit(rollout_error=f"{type(e).__name__}: {str(e)[:160]}")
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "logs", "longcontext_r5.json"),
