@@ -28,6 +28,9 @@ def main():
                     choices=["continuous", "paged"])
     ap.add_argument("--budget", type=int, default=0,
                     help="fixed per-request budget (0 = long-tail mix)")
+    ap.add_argument("--mega", action="store_true",
+                    help="whole-step decode megakernel + fused lm-head "
+                         "sampler (int8 weights + int8 KV implied)")
     ap.add_argument("--log-dir", default="logs/serving_bench")
     args = ap.parse_args()
 
@@ -63,6 +66,16 @@ def main():
             prompt_bucket=64, decode_chunk=32, page_size=16,
             attn_impl="pallas" if on_tpu else "xla",
         )
+    elif args.mega:
+        # hybrid: per-layer kernels at large pool sizes, megakernel once
+        # compaction shrinks the pool (measured v5e crossover ~128 slots)
+        eng = ContinuousBatchingEngine(
+            cfg, sp, num_slots=args.slots, max_seq_len=512, prompt_bucket=64,
+            decode_chunk=32, weight_quant="int8", kv_quant="int8",
+            decode_attn_impl="pallas" if on_tpu else "xla",
+            use_mega="auto",
+            sampler_impl="fused" if on_tpu else None,
+        )
     else:
         eng = ContinuousBatchingEngine(
             cfg, sp, num_slots=args.slots, max_seq_len=512, prompt_bucket=64,
@@ -86,7 +99,8 @@ def main():
         "requests": args.requests,
         "slots": args.slots,
         "engine": args.engine,
-        "kv_quant": args.kv_quant,
+        "mega": bool(args.mega),
+        "kv_quant": "int8" if args.mega else args.kv_quant,
         "generated_tokens": gen_tokens,
         "seconds": round(dt, 3),
         "tokens_per_s": round(gen_tokens / dt, 1),

@@ -245,8 +245,9 @@ def _rms(x: jax.Array, w_row: jax.Array, eps: float) -> jax.Array:
 def _mega_kernel(
     # scalar prefetch
     tbl_ref,       # [NPH] i32
-    meta_ref,      # [4] i32: wp, nj (kv blocks), lo (first block), pad
+    meta_ref,      # [4] i32: max wp, nj (kv blocks), lo (first block), pad
     starts_ref,    # [B] i32
+    wps_ref,       # [B] i32 per-row write positions (ragged serving pools)
     # tensor inputs
     ws_ref,        # [1, D, CW] int8 (streamed chunk)
     wsc_ref,       # [1, 1, CW] f32
@@ -308,7 +309,6 @@ def _mega_kernel(
     # ---------------- attention ----------------
     @pl.when(p == P.attn_p)
     def _attn():
-        wp = meta_ref[0]
         nj = meta_ref[1]
         lo = meta_ref[2]
 
@@ -401,7 +401,7 @@ def _mega_kernel(
                 ) * scale * ksbuf[slot, r][None, :]          # [Hp, BLK]
                 pos = jlo + jax.lax.broadcasted_iota(
                     jnp.int32, (P.Hp, BLK), 1)
-                valid = (pos >= starts_ref[row]) & (pos < wp)
+                valid = (pos >= starts_ref[row]) & (pos < wps_ref[row])
                 sc = jnp.where(valid, sc, NEG_INF)
                 m_prev = m_sc[row, :, :1]
                 m_new = jnp.maximum(
@@ -497,7 +497,8 @@ def decode_step_mega(
     vc: jax.Array,
     ks: jax.Array,          # [L, B, S] f32
     vs: jax.Array,
-    write_pos: jax.Array,   # scalar int32 cache slot (static engine)
+    write_pos: jax.Array,   # int32 cache slot: scalar (static engine,
+                            # lockstep) or [B] per-row (continuous serving)
     positions: jax.Array,   # [B] int32 rope positions
     starts: jax.Array,      # [B] int32 first valid slot
     cos_tab: jax.Array,     # [S_rope, Hd] f32
@@ -536,22 +537,25 @@ def decode_step_mega(
     cosk = jnp.tile(cos_p, (1, P.Kv)).astype(jnp.float32)
     sink = jnp.tile(sin_p, (1, P.Kv)).astype(jnp.float32)
 
-    wp = jnp.asarray(write_pos, jnp.int32)
+    uniform_slot = jnp.ndim(write_pos) == 0
+    wps = jnp.broadcast_to(
+        jnp.asarray(write_pos, jnp.int32), (B,))
+    wp_max = jnp.max(wps)
     lo = jnp.min(starts.astype(jnp.int32)) // BLK
-    hi = (wp + BLK - 1) // BLK
+    hi = (wp_max + BLK - 1) // BLK
     nj = jnp.maximum(hi - lo, 0)
-    meta = jnp.stack([wp, nj, lo, jnp.int32(0)])
+    meta = jnp.stack([wp_max, nj, lo, jnp.int32(0)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(P.L, P.nph),
         in_specs=[
             pl.BlockSpec(
                 (1, P.D, P.CW),
-                lambda l, p, tbl, meta, st: (l * P.nchk + tbl[p], 0, 0)),
+                lambda l, p, tbl, meta, st, wr: (l * P.nchk + tbl[p], 0, 0)),
             pl.BlockSpec(
                 (1, 1, P.CW),
-                lambda l, p, tbl, meta, st: (l * P.nchk + tbl[p], 0, 0)),
+                lambda l, p, tbl, meta, st, wr: (l * P.nchk + tbl[p], 0, 0)),
             pl.BlockSpec((1, 2, P.D), lambda l, p, *_: (l, 0, 0)),
             pl.BlockSpec((1, 1, P.n_qkv * P.CW), lambda l, p, *_: (l, 0, 0)),
             pl.BlockSpec((B, P.D), lambda l, p, *_: (0, 0)),
@@ -608,19 +612,30 @@ def decode_step_mega(
             vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(
-        mw.tbl, meta, starts.astype(jnp.int32),
+        mw.tbl, meta, starts.astype(jnp.int32), wps,
         mw.stream, mw.scales, mw.norms, mw.bias,
         x0.astype(jnp.bfloat16), cosq, sinq, cosk, sink,
         kc, vc, ks, vs,
     )
     hidden, knew, vnew, ksn, vsn = out
-    # Insert the current token at slot wp (in place: the caches are dead
-    # after this point of the decode-loop carry, so XLA updates the donated
-    # buffers without a copy).
-    kc = jax.lax.dynamic_update_slice(kc, knew[:, :, None, :], (0, 0, wp, 0))
-    vc = jax.lax.dynamic_update_slice(vc, vnew[:, :, None, :], (0, 0, wp, 0))
-    ks = jax.lax.dynamic_update_slice(
-        ks, jnp.swapaxes(ksn, 1, 2), (0, 0, wp))
-    vs = jax.lax.dynamic_update_slice(
-        vs, jnp.swapaxes(vsn, 1, 2), (0, 0, wp))
+    # Insert the current token at its write slot (in place: the caches are
+    # dead after this point of the decode-loop carry, so XLA updates the
+    # donated buffers without a copy).
+    if uniform_slot:
+        wp = wps[0]
+        kc = jax.lax.dynamic_update_slice(
+            kc, knew[:, :, None, :], (0, 0, wp, 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, vnew[:, :, None, :], (0, 0, wp, 0))
+        ks = jax.lax.dynamic_update_slice(
+            ks, jnp.swapaxes(ksn, 1, 2), (0, 0, wp))
+        vs = jax.lax.dynamic_update_slice(
+            vs, jnp.swapaxes(vsn, 1, 2), (0, 0, wp))
+    else:
+        # ragged pool: per-row slots -> one scatter along the S axis
+        rows = jnp.arange(B)
+        kc = kc.at[:, rows, wps, :].set(knew)
+        vc = vc.at[:, rows, wps, :].set(vnew)
+        ks = ks.at[:, rows, wps].set(ksn[:, 0, :])
+        vs = vs.at[:, rows, wps].set(vsn[:, 0, :])
     return hidden, kc, vc, ks, vs

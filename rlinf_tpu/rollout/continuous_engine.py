@@ -91,6 +91,10 @@ class ContinuousBatchingEngine:
         decode_attn_impl: Optional[str] = None,
         attn_impl: str = "xla",
         compact: bool = True,
+        use_mega=False,
+        sampler_impl: Optional[str] = None,
+        mega_chunk_width: Optional[int] = None,
+        mega_threshold: int = 128,
     ):
         """``kv_quant='int8'``: the packed KV cache is stored int8 with one
         f32 scale per (slot, token) — cache HBM traffic halves (decode is
@@ -111,10 +115,43 @@ class ContinuousBatchingEngine:
         #: shrink the slot pool to a power-of-two over the live set once the
         #: pending queue drains (long-tail decode compaction)
         self.compact = compact
+        #: run decode steps as ONE pallas call over all layers
+        #: (ops/pallas/decode_megakernel.py) with per-row ragged write
+        #: positions — removes the per-layer launch/serialization floor that
+        #: dominates small-pool tail steps in long-tail serving mixes.
+        #: True = always; "auto" = HYBRID: per-layer kernels while the pool
+        #: is large (their gridded attention streams the big cache better),
+        #: megakernel once compaction shrinks the pool to <= mega_threshold
+        #: (measured v5e crossover on the 0.5B: mega +19%/+7% at 64/128
+        #: slots, -41% at 256). The cache relayout happens inside the
+        #: compaction gather — one copy of the already-compacted cache.
+        self.use_mega = use_mega
+        #: None = engine default (XLA lm-head + sample); "fused" = the
+        #: Pallas lm-head+gumbel sampler (never materializes [B, V] logits)
+        self.sampler_impl = sampler_impl
+        #: "auto" hybrid switch point: pools of this size or smaller decode
+        #: through the megakernel
+        self.mega_threshold = mega_threshold
+        if use_mega:
+            if weight_quant != "int8" or kv_quant != "int8":
+                raise ValueError(
+                    "use_mega needs weight_quant='int8' and kv_quant='int8'")
+            if num_slots % 8:
+                raise ValueError("use_mega needs num_slots % 8 == 0")
+            if self.max_seq_len % 128:
+                raise ValueError("use_mega needs max_seq_len % 128 == 0 "
+                                 "(cache length is a lane dim of the kernel's"
+                                 " scale stream)")
+            from rlinf_tpu.ops.pallas.decode_megakernel import make_plan
+
+            cw = mega_chunk_width or max(2048, cfg.hidden_size)
+            self._plan = make_plan(cfg, cw)
+            self._mega_cw = cw
+        self._mega_mw = None
 
         self._refill = jax.jit(self._refill_impl, donate_argnums=(1,))
         self._decode = jax.jit(
-            self._decode_impl, donate_argnums=(1,), static_argnums=(6,)
+            self._decode_impl, donate_argnums=(2,), static_argnums=(7,)
         )
         if weight_quant == "int8":
             from rlinf_tpu.models.llm.quant import quantize_params
@@ -139,7 +176,25 @@ class ContinuousBatchingEngine:
         )
         kd = self.cfg.kv_dim
         new_layers = []
-        if self.kv_quant == "int8":
+        if self.use_mega and self._is_stacked(kv_layers):
+            # stacked [L, B, S, KD] int8 cache (+ [L, B, S] f32 scales)
+            from rlinf_tpu.models.llm.model import quantize_packed_kv
+
+            kc, vc, ksc, vsc = kv_layers
+            kqs, vqs, kss, vss = [], [], [], []
+            for i in range(self.cfg.num_layers):
+                kq, ks = quantize_packed_kv(kv.k[i].reshape(R, P, kd))
+                vq, vs = quantize_packed_kv(kv.v[i].reshape(R, P, kd))
+                kqs.append(kq)
+                vqs.append(vq)
+                kss.append(ks)
+                vss.append(vs)
+            kc = kc.at[:, slot_ids, :P].set(jnp.stack(kqs))
+            vc = vc.at[:, slot_ids, :P].set(jnp.stack(vqs))
+            ksc = ksc.at[:, slot_ids, :P].set(jnp.stack(kss))
+            vsc = vsc.at[:, slot_ids, :P].set(jnp.stack(vss))
+            new_layers = (kc, vc, ksc, vsc)
+        elif self.kv_quant == "int8":
             from rlinf_tpu.models.llm.model import quantize_packed_kv
 
             for i, (kc, vc, ksc, vsc) in enumerate(kv_layers):
@@ -174,29 +229,62 @@ class ContinuousBatchingEngine:
         return tuple(new_layers), lengths, done, cur_tokens, tok, lp
 
     def _decode_impl(
-        self, dparams, kv_layers, lengths, done, cur_tokens, rng, n_steps
+        self, dparams, mega_mw, kv_layers, lengths, done, cur_tokens, rng,
+        n_steps,
     ):
         """K decode steps for all slots on the packed cache. Free slots
         (done=True) decode junk that the host never harvests."""
         B = lengths.shape[0]          # pool may be compacted below num_slots
         S = self.max_seq_len
         starts = jnp.zeros((B,), jnp.int32)
+        mega_now = self.use_mega and self._is_stacked(kv_layers)
+        if mega_now:
+            from rlinf_tpu.ops.rope import rope_frequencies
+
+            cos_tab, sin_tab = rope_frequencies(
+                self.cfg.head_dim_, self.cfg.max_seq_len, self.cfg.rope_theta
+            )
+        use_fused = self.sampler_impl == "fused"
+        if use_fused:
+            from rlinf_tpu.models.llm.sampler import _sample_hidden
+
+        def _sample(sub, hidden):
+            if use_fused:
+                return _sample_hidden(
+                    dparams, self.cfg, sub, hidden, self.sampling, True)
+            logits = M.lm_head_logits(dparams, self.cfg, hidden)
+            return sample_from_logits(sub, logits, self.sampling)
 
         def step(carry, _):
             kv_layers, lengths, done, tok, rng = carry
             write_pos = jnp.minimum(lengths, S - 1)
-            step_fn = (
-                M.decode_step_packed_q8 if self.kv_quant == "int8"
-                else M.decode_step_packed
-            )
-            hidden, kv_layers = step_fn(
-                dparams, self.cfg, tok, kv_layers, write_pos,
-                positions=write_pos, starts=starts, lengths=write_pos + 1,
-                attn_impl=self.decode_attn_impl,
-            )
-            logits = M.lm_head_logits(dparams, self.cfg, hidden)
+            if mega_now:
+                from rlinf_tpu.ops.norm import rms_norm
+                from rlinf_tpu.ops.pallas.decode_megakernel import (
+                    decode_step_mega,
+                )
+
+                kc, vc, ks, vs = kv_layers
+                x0 = dparams["embed"][tok].astype(self.cfg.compute_dtype)
+                hidden, kc, vc, ks, vs = decode_step_mega(
+                    self._plan, mega_mw, x0, kc, vc, ks, vs, write_pos,
+                    write_pos, starts, cos_tab, sin_tab,
+                )
+                hidden = rms_norm(
+                    hidden, dparams["final_norm"], self.cfg.rms_eps)
+                kv_layers = (kc, vc, ks, vs)
+            else:
+                step_fn = (
+                    M.decode_step_packed_q8 if self.kv_quant == "int8"
+                    else M.decode_step_packed
+                )
+                hidden, kv_layers = step_fn(
+                    dparams, self.cfg, tok, kv_layers, write_pos,
+                    positions=write_pos, starts=starts, lengths=write_pos + 1,
+                    attn_impl=self.decode_attn_impl,
+                )
             rng, sub = jax.random.split(rng)
-            new_tok, lp = sample_from_logits(sub, logits, self.sampling)
+            new_tok, lp = _sample(sub, hidden)
             new_done = done | (new_tok == self.sampling.eos_token_id)
             new_tok = jnp.where(done, self.sampling.pad_token_id, new_tok)
             lp = jnp.where(done, 0.0, lp)
@@ -214,15 +302,32 @@ class ContinuousBatchingEngine:
         return kv_layers, lengths, done, cur_tokens, toks, lps, was_done
 
     # -- pool core (shared by generate() and GenerationServer) -----------
+    @staticmethod
+    def _is_stacked(kv_layers) -> bool:
+        """Stacked [L, B, S, KD] megakernel layout vs per-layer tuples."""
+        return isinstance(kv_layers[0], jax.Array)
+
     def init_pool(self) -> _Pool:
-        init_cache = (
-            M.init_kv_cache_packed_q8 if self.kv_quant == "int8"
-            else M.init_kv_cache_packed
+        mega_now = self.use_mega is True or (
+            self.use_mega == "auto"
+            and self.num_slots <= self.mega_threshold
         )
+        if mega_now:
+            L = self.cfg.num_layers
+            shape = (L, self.num_slots, self.max_seq_len, self.cfg.kv_dim)
+            cache = (
+                jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                jnp.ones(shape[:3], jnp.float32),
+                jnp.ones(shape[:3], jnp.float32),
+            )
+        else:
+            init_cache = (
+                M.init_kv_cache_packed_q8 if self.kv_quant == "int8"
+                else M.init_kv_cache_packed
+            )
+            cache = init_cache(self.cfg, self.num_slots, self.max_seq_len)
         return _Pool(
-            kv_layers=init_cache(
-                self.cfg, self.num_slots, self.max_seq_len
-            ),
+            kv_layers=cache,
             lengths=jnp.zeros((self.num_slots,), jnp.int32),
             done=jnp.ones((self.num_slots,), bool),     # all free
             cur_tokens=jnp.zeros((self.num_slots,), jnp.int32),
@@ -235,7 +340,20 @@ class ContinuousBatchingEngine:
         learner params per rollout is the weight-sync analog of the
         reference's per-step rollout reload (sgl_scheduler.py:141)."""
         if self._quantize is not None:
-            return params, self._quantize(params)
+            dparams = self._quantize(params)
+            if self.use_mega:
+                # repack the chunk stream for the megakernel; stored on the
+                # engine and passed to the decode jit as an ARGUMENT (a
+                # closure capture would bake multi-GB constants into the HLO)
+                if not hasattr(self, "_pack"):
+                    from rlinf_tpu.ops.pallas.decode_megakernel import (
+                        pack_decode_weights,
+                    )
+
+                    self._pack = jax.jit(lambda qp: pack_decode_weights(
+                        qp, self.cfg, self._mega_cw)[1])
+                self._mega_mw = self._pack(dparams)
+            return params, dparams
         return params, params
 
     def trim_prompt(self, ids: Sequence[int], budget: int) -> List[int]:
@@ -311,8 +429,8 @@ class ContinuousBatchingEngine:
         K = self.decode_chunk
         (pool.kv_layers, pool.lengths, pool.done, pool.cur_tokens,
          toks, lps, was_done) = self._decode(
-            decode_params, pool.kv_layers, pool.lengths, pool.done,
-            pool.cur_tokens, rng, K,
+            decode_params, self._mega_mw, pool.kv_layers, pool.lengths,
+            pool.done, pool.cur_tokens, rng, K,
         )
         # one host sync for the whole chunk; per-slot appends are numpy
         # slices (the python-per-token harvest was the serving bottleneck at
@@ -380,9 +498,21 @@ class ContinuousBatchingEngine:
         dead = [s for s in range(pool.size)
                 if pool.slots[s].request_idx < 0][: new_size - len(live)]
         perm = jnp.asarray(live + dead, jnp.int32)
-        kv = tuple(
-            tuple(arr[perm] for arr in layer) for layer in pool.kv_layers
-        )
+        if self._is_stacked(pool.kv_layers):
+            # stacked [L, B, ...] arrays: gather rows along the slot axis
+            kv = tuple(arr[:, perm] for arr in pool.kv_layers)
+        elif self.use_mega == "auto" and new_size <= self.mega_threshold:
+            # hybrid switch point: relayout the per-layer q8 tuples into the
+            # megakernel's stacked arrays inside the compaction gather (one
+            # copy of the already-compacted cache, ~a single step's cost)
+            kv = tuple(
+                jnp.stack([layer[i][perm] for layer in pool.kv_layers])
+                for i in range(4)
+            )
+        else:
+            kv = tuple(
+                tuple(arr[perm] for arr in layer) for layer in pool.kv_layers
+            )
         return _Pool(
             kv_layers=kv,
             lengths=pool.lengths[perm],

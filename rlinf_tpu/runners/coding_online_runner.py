@@ -102,11 +102,13 @@ class CodingOnlineRunner(ReasoningRunner):
             from rlinf_tpu.training.learner import make_logprob_fn
 
             self.recompute_logprobs = True
+            # self.cfg (not the ctor arg): the base runner resolved
+            # attn_impl='auto' to a concrete kernel there
             self.logprob_fn = make_logprob_fn(
-                cfg.model,
-                chunk_size=cfg.loss.logprob_chunk_size,
-                attn_impl=cfg.attn_impl,
-                temperature=cfg.sampling.temperature,
+                self.cfg.model,
+                chunk_size=self.cfg.loss.logprob_chunk_size,
+                attn_impl=self.cfg.attn_impl,
+                temperature=self.cfg.sampling.temperature,
             )
         self.server = GenerationServer(
             self.engine, self._frozen_policy_params(),

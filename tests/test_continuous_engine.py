@@ -199,3 +199,58 @@ def test_pool_compaction_long_tail_greedy_identical():
         int(l) <= bud
         for l, bud in zip(np.asarray(a.response_lengths), budgets)
     )
+
+
+def test_mega_engine_matches_q8_engine():
+    """use_mega=True: whole-step megakernel decode with per-row ragged
+    write positions inside the slot pool (interpret mode on CPU). Greedy
+    outputs agree with the per-layer q8 engine up to the kernel's
+    deliberate precision upgrades; budgets + compaction still hold."""
+    cfg = LLMConfig.tiny(vocab_size=64, max_seq_len=128)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    sp = SamplingParams(max_new_tokens=16, greedy=True, eos_token_id=-1,
+                        pad_token_id=0)
+    r = np.random.default_rng(3)
+    n_req = 8
+    budgets = [4, 4, 8, 8, 12, 16, 16, 16]          # ragged write positions
+    prompts = [list(map(int, r.integers(2, 60, int(r.integers(3, 10)))))
+               for _ in range(n_req)]
+    request = RolloutRequest(
+        prompt_ids=prompts, answers=[""] * n_req, max_new_tokens=budgets,
+    )
+
+    outs = {}
+    for mega in (False, True, "auto"):
+        eng = ContinuousBatchingEngine(
+            cfg, sp, num_slots=16, max_seq_len=128, prompt_bucket=16,
+            decode_chunk=4, weight_quant="int8", kv_quant="int8",
+            decode_attn_impl="xla", use_mega=mega, mega_chunk_width=128,
+            # "auto": start per-layer (16 > 8), switch to mega when
+            # compaction shrinks the pool — exercises the hybrid relayout
+            mega_threshold=8,
+        )
+        if mega == "auto":
+            seen = []
+            orig = eng.decode_and_harvest
+
+            def spy(pool, dp, rng, _o=orig, _s=seen):
+                _s.append(ContinuousBatchingEngine._is_stacked(pool.kv_layers))
+                return _o(pool, dp, rng)
+
+            eng.decode_and_harvest = spy
+        outs[mega] = eng.rollout(params, request, jax.random.PRNGKey(5))
+    assert False in seen and True in seen, (
+        f"hybrid never switched layouts: {seen}")
+
+    a = outs[False]
+    la = np.asarray(a.response_lengths)
+    for key in (True, "auto"):
+        b = outs[key]
+        lb = np.asarray(b.response_lengths)
+        np.testing.assert_array_equal(la, lb)       # budget-driven lengths
+        assert all(int(l) <= bud for l, bud in zip(lb, budgets))
+        # greedy tokens: near-tie flips allowed, bulk agreement required
+        ta = np.asarray(a.response_ids)
+        tb = np.asarray(b.response_ids)
+        agree = (ta == tb)[np.asarray(a.response_mask)].mean()
+        assert agree > 0.85, f"mega={key} engine greedy agreement {agree}"

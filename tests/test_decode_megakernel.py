@@ -104,6 +104,64 @@ def test_megakernel_matches_q8_path():
         np.asarray(kc2)[:, :, wp + 1:], np.asarray(kc)[:, :, wp + 1:])
 
 
+def test_megakernel_ragged_write_pos():
+    """Per-row write positions (continuous serving pools): mega vs the
+    per-layer q8 ragged path on rows with different cache lengths."""
+    cfg = _cfg()
+    B, S = 8, 128
+    params = init_params(cfg, jax.random.PRNGKey(4))
+    qparams = quantize_params(params)
+    plan, mw = pack_decode_weights(qparams, cfg, chunk_width=256)
+
+    r = np.random.default_rng(7)
+    tok = jnp.asarray(r.integers(0, cfg.vocab_size, (B,)), jnp.int32)
+    wp_vec = jnp.asarray(
+        r.integers(5, S - 1, (B,)), jnp.int32)           # ragged slots
+    positions = wp_vec
+    starts = jnp.zeros((B,), jnp.int32)
+    lengths = wp_vec + 1
+    layers, (kc, vc, ks, vs) = _mk_cache(cfg, B, S, r)
+
+    hidden_ref, new_layers = M.decode_step_packed_q8(
+        qparams, cfg, tok, layers, wp_vec, positions, starts, lengths,
+        attn_impl="xla",
+    )
+
+    x0 = qparams["embed"][tok].astype(cfg.compute_dtype)
+    cos_tab, sin_tab = rope_frequencies(
+        cfg.head_dim_, cfg.max_seq_len, cfg.rope_theta)
+    try:
+        hidden, kc2, vc2, ks2, vs2 = decode_step_mega(
+            plan, mw, x0, kc, vc, ks, vs, wp_vec, positions, starts,
+            cos_tab, sin_tab, kv_block=64, interpret=True,
+        )
+    except NotImplementedError as e:
+        pytest.skip(f"interpret mode lacks a TPU primitive: {e}")
+    hidden = rms_norm(hidden, qparams["final_norm"], cfg.rms_eps)
+
+    a = np.asarray(hidden, np.float32)
+    b = np.asarray(hidden_ref, np.float32)
+    scale = max(np.abs(b).max(), 1e-6)
+    assert np.abs(a - b).max() / scale < 0.05, (
+        f"ragged hidden mismatch: {np.abs(a - b).max()} vs scale {scale}")
+
+    # per-row cache writes landed at each row's own slot (dequantized)
+    wp_np = np.asarray(wp_vec)
+    rows = np.arange(B)
+    for li in range(cfg.num_layers):
+        k_ref = (np.asarray(new_layers[li][0])[rows, wp_np].astype(np.float32)
+                 * np.asarray(new_layers[li][2])[rows, wp_np][:, None])
+        k_new = (np.asarray(kc2)[li, rows, wp_np].astype(np.float32)
+                 * np.asarray(ks2)[li, rows, wp_np][:, None])
+        tol = max(np.abs(k_ref).max(), 1e-6) * 0.03
+        assert np.abs(k_ref - k_new).max() < tol
+        # rows' slots above their own wp untouched
+        for bi in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(kc2)[li, bi, wp_np[bi] + 1:],
+                np.asarray(kc)[li, bi, wp_np[bi] + 1:])
+
+
 def test_generate_mega_smoke():
     """generate(mega=...) end-to-end in interpret-friendly sizes."""
     cfg = _cfg()

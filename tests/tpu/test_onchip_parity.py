@@ -270,6 +270,68 @@ def check_continuous_engine() -> dict:
     return _engine_parity("continuous")
 
 
+def check_mega_engine() -> dict:
+    """Hybrid serving pool (use_mega='auto'): per-layer q8 kernels at the
+    large pool size, megakernel with per-row RAGGED write positions after
+    compaction relays the cache into stacked [L, B, S, KD] — vs the
+    per-layer q8 engine end to end. Greedy tokens must bulk-agree (the
+    megakernel's exact-f32 current-token attention is a deliberate
+    precision upgrade, so near-ties may flip)."""
+    from rlinf_tpu.data.io_struct import RolloutRequest
+    from rlinf_tpu.models.llm.model import LLMConfig, init_params
+    from rlinf_tpu.models.llm.sampler import SamplingParams
+    from rlinf_tpu.rollout.continuous_engine import ContinuousBatchingEngine
+
+    cfg = LLMConfig(
+        vocab_size=512, hidden_size=256, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=64, intermediate_size=512, max_seq_len=256,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    sp = SamplingParams(max_new_tokens=32, greedy=True, eos_token_id=-1,
+                        pad_token_id=0)
+    rng = np.random.default_rng(11)
+    n_req = 16
+    budgets = [4, 8, 8, 16] * 4                    # ragged long tail
+    prompts = [list(rng.integers(2, 500, rng.integers(4, 24)))
+               for _ in range(n_req)]
+    request = RolloutRequest(
+        prompt_ids=[[int(t) for t in p] for p in prompts],
+        answers=[""] * n_req, max_new_tokens=budgets,
+    )
+
+    outs = {}
+    layouts = []
+    for mega in (False, "auto"):
+        eng = ContinuousBatchingEngine(
+            cfg, sp, num_slots=16, max_seq_len=128, prompt_bucket=32,
+            decode_chunk=4, weight_quant="int8", kv_quant="int8",
+            decode_attn_impl="pallas", use_mega=mega, mega_chunk_width=256,
+            mega_threshold=8,
+        )
+        if mega == "auto":
+            orig = eng.decode_and_harvest
+
+            def spy(pool, dp, r, _o=orig):
+                layouts.append(
+                    ContinuousBatchingEngine._is_stacked(pool.kv_layers))
+                return _o(pool, dp, r)
+
+            eng.decode_and_harvest = spy
+        outs[mega] = eng.rollout(params, request, jax.random.PRNGKey(9))
+
+    assert False in layouts and True in layouts, (
+        f"hybrid never switched to the megakernel on-chip: {layouts}")
+    a, b = outs[False], outs["auto"]
+    np.testing.assert_array_equal(
+        np.asarray(a.response_lengths), np.asarray(b.response_lengths))
+    agree = float(
+        (np.asarray(a.response_ids) == np.asarray(b.response_ids))[
+            np.asarray(a.response_mask)].mean())
+    assert agree > 0.9, f"hybrid engine greedy agreement {agree}"
+    return {"greedy_agree": agree,
+            "layouts_seen": sorted({bool(x) for x in layouts}, key=int)}
+
+
 def check_q8_decode_kernel() -> dict:
     from rlinf_tpu.ops.pallas.decode_attention import (
         decode_attention_packed_q8,
@@ -542,6 +604,7 @@ CHECKS = [
     ("paged_kernel", check_paged_kernel),
     ("static_engine", check_static_engine),
     ("continuous_engine", check_continuous_engine),
+    ("mega_engine", check_mega_engine),
 ]
 
 
